@@ -36,13 +36,8 @@ def to_limbs(x: int, L: int) -> np.ndarray:
         raise ValueError("to_limbs requires non-negative input")
     if x >> (LIMB_BITS * L):
         raise ValueError(f"value does not fit in {L} limbs ({x.bit_length()} bits)")
-    out = np.zeros(L, dtype=np.uint32)
-    i = 0
-    while x:
-        out[i] = x & LIMB_MASK
-        x >>= LIMB_BITS
-        i += 1
-    return out
+    # int.to_bytes is C speed; frombuffer avoids a python-level limb loop
+    return np.frombuffer(x.to_bytes(2 * L, "little"), dtype="<u2").astype(np.uint32)
 
 
 def from_limbs(a) -> int:
@@ -52,6 +47,8 @@ def from_limbs(a) -> int:
     weighted by 2^(16*i), so lazy-carry representations decode correctly.
     """
     a = np.asarray(a)
+    if a.dtype == np.uint32 and a.ndim == 1 and bool(np.all(a <= LIMB_MASK)):
+        return int.from_bytes(a.astype("<u2").tobytes(), "little")
     x = 0
     for i in reversed(range(a.shape[-1])):
         x = (x << LIMB_BITS) + int(a[..., i])
@@ -74,7 +71,15 @@ def batch_from_limbs(a) -> np.ndarray:
     a = np.asarray(a)
     lead = a.shape[:-1]
     flat = a.reshape(-1, a.shape[-1])
-    out = np.empty(flat.shape[0], dtype=object)
-    for i in range(flat.shape[0]):
-        out[i] = from_limbs(flat[i])
+    if flat.dtype == np.uint32 and bool(np.all(flat <= LIMB_MASK)):
+        # vectorized canonical path: one buffer, C-speed per-row decode
+        buf = flat.astype("<u2").tobytes()
+        k = 2 * flat.shape[1]
+        out = np.empty(flat.shape[0], dtype=object)
+        for i in range(flat.shape[0]):
+            out[i] = int.from_bytes(buf[i * k : (i + 1) * k], "little")
+    else:
+        out = np.empty(flat.shape[0], dtype=object)
+        for i in range(flat.shape[0]):
+            out[i] = from_limbs(flat[i])
     return out.reshape(lead) if lead else out[0]

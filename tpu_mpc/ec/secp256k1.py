@@ -1,0 +1,377 @@
+"""Batched secp256k1 on TPU: field, scalar field, Jacobian point kernels.
+
+Replaces curv's secp256k1 `Point`/`Scalar` backend (used by every protocol
+file of the reference, e.g. gg_2020/party_i.rs:627-633) with a batch-first
+formulation: a "point" is a pytree of [..., 16]-limb coordinate arrays and
+every operation maps over the leading session/party axes.
+
+Field arithmetic is specialized to p = 2^256 - 2^32 - 977: a 512-bit product
+folds to 256 bits with two multiply-by-0x1000003D1 passes (cheap VPU work)
+instead of a generic Montgomery reduction.  The scalar field q uses the
+shared-constant Montgomery path from core (inversions via Fermat).
+
+All control flow is branch-free: point-at-infinity and the doubling case of
+addition are handled by masked selects, so scalar multiplication is
+constant-time by construction (no secret-dependent branches or shapes).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ..core import bigint as bi
+from ..core.bigint import U32
+from ..core.limbs import LIMB_BITS, LIMB_MASK, batch_to_limbs, batch_from_limbs, nlimbs
+from ..core.montgomery import MontCtx, mont_exp, mont_exp_const, mont_mul, to_mont, from_mont
+from ..host import ec as hec
+
+L = nlimbs(256)  # 16 limbs
+
+P_INT = hec.P
+Q_INT = hec.N
+_FOLD = 0x1000003D1  # 2^256 mod p = 2^32 + 977
+
+P_LIMBS = jnp.asarray(batch_to_limbs(P_INT, L))
+Q_LIMBS = jnp.asarray(batch_to_limbs(Q_INT, L))
+_FOLD_LIMBS = jnp.asarray(batch_to_limbs(_FOLD, 3))
+
+# Shared Montgomery contexts (constants broadcast over any batch)
+P_CTX = MontCtx.from_ints(P_INT, 256)
+Q_CTX = MontCtx.from_ints(Q_INT, 256)
+
+GEN_X = jnp.asarray(batch_to_limbs(hec.GX, L))
+GEN_Y = jnp.asarray(batch_to_limbs(hec.GY, L))
+BP2_X = jnp.asarray(batch_to_limbs(hec.BASE_POINT2[0], L))
+BP2_Y = jnp.asarray(batch_to_limbs(hec.BASE_POINT2[1], L))
+
+
+# --------------------------------------------------------------------------
+# base field
+# --------------------------------------------------------------------------
+
+def _fold_once(cols, out_limbs):
+    """value (column form, any length) -> lo_16_limbs + hi * (2^32 + 977)."""
+    x = bi.carry_canon(cols)
+    lo = x[..., :L]
+    hi = x[..., L:]
+    if hi.shape[-1] == 0:
+        return bi.pad_to(lo, out_limbs)
+    prod = bi.mul_cols(hi, _FOLD_LIMBS)         # [..., Lh+3]
+    acc = bi.pad_to(lo, out_limbs).astype(U32)
+    ph = bi.pad_to(prod, out_limbs) if prod.shape[-1] <= out_limbs else prod[..., :out_limbs]
+    return acc + ph
+
+
+@jax.jit
+def fe_mul(a, b):
+    """Field multiply mod p: two fold passes + one conditional subtract."""
+    cols = bi.mul_cols(a, b)                    # [..., 32]
+    r1 = _fold_once(cols, 20)                   # <= 2^289ish
+    r2 = _fold_once(r1, L + 1)                  # <= 2^256 + 2^81 < 2p
+    r2 = bi.carry_canon(r2)
+    return bi.cond_sub(r2, bi.pad_to(P_LIMBS, L + 1))[..., :L]
+
+
+@jax.jit
+def fe_sq(a):
+    return fe_mul(a, a)
+
+
+@jax.jit
+def fe_add(a, b):
+    return bi.mod_add(a, b, P_LIMBS)
+
+
+@jax.jit
+def fe_sub(a, b):
+    return bi.mod_sub(a, b, P_LIMBS)
+
+
+def fe_muli(a, k: int):
+    """Multiply by a small host constant (k <= 2^14)."""
+    # pad first so the carry out of limb 15 lands in limb 16 instead of
+    # being dropped by carry_canon
+    cols = bi.pad_to(a, L + 1) * jnp.uint32(k)
+    r = _fold_once(cols, L + 1)
+    r = bi.carry_canon(r)
+    return bi.cond_sub(r, bi.pad_to(P_LIMBS, L + 1))[..., :L]
+
+
+@jax.jit
+def fe_inv(a):
+    """a^{-1} mod p (Fermat; fori-loop modexp keeps the graph tiny)."""
+    return mont_exp_const(a, P_INT - 2, P_CTX, ebits=256)
+
+
+@jax.jit
+def fe_sqrt(a):
+    """Square root mod p (p = 3 mod 4): a^((p+1)/4).  Caller checks validity."""
+    return mont_exp_const(a, (P_INT + 1) // 4, P_CTX, ebits=256)
+
+
+# --------------------------------------------------------------------------
+# scalar field (mod q)
+# --------------------------------------------------------------------------
+
+@jax.jit
+def sc_mul(a, b):
+    return mont_mul(to_mont(a, Q_CTX), b, Q_CTX)
+
+
+@jax.jit
+def sc_add(a, b):
+    return bi.mod_add(a, b, Q_LIMBS)
+
+
+@jax.jit
+def sc_sub(a, b):
+    return bi.mod_sub(a, b, Q_LIMBS)
+
+
+@jax.jit
+def sc_neg(a):
+    return bi.mod_neg(a, Q_LIMBS)
+
+
+@jax.jit
+def sc_inv(a):
+    return mont_exp_const(a, Q_INT - 2, Q_CTX, ebits=256)
+
+
+def sc_from_ints(xs):
+    return jnp.asarray(batch_to_limbs(np.mod(np.asarray(xs, dtype=object), Q_INT), L))
+
+
+# --------------------------------------------------------------------------
+# points (Jacobian, batched)
+# --------------------------------------------------------------------------
+
+class Point(NamedTuple):
+    """Jacobian point batch: x = X/Z^2, y = Y/Z^3; Z == 0 marks infinity."""
+
+    X: Any
+    Y: Any
+    Z: Any
+
+
+def point_infinity(batch_shape=()):
+    one = jnp.zeros(batch_shape + (L,), U32).at[..., 0].set(1)
+    zero = jnp.zeros(batch_shape + (L,), U32)
+    return Point(one, one, zero)
+
+
+def point_from_affine(x, y):
+    one = jnp.zeros_like(x).at[..., 0].set(1)
+    return Point(x, y, one)
+
+
+def generator(batch_shape=()):
+    b = lambda a: jnp.broadcast_to(a, batch_shape + (L,))
+    return point_from_affine(b(GEN_X), b(GEN_Y))
+
+
+def base_point2(batch_shape=()):
+    b = lambda a: jnp.broadcast_to(a, batch_shape + (L,))
+    return point_from_affine(b(BP2_X), b(BP2_Y))
+
+
+def _select_pt(mask, a: Point, b: Point) -> Point:
+    return Point(bi.select(mask, a.X, b.X), bi.select(mask, a.Y, b.Y), bi.select(mask, a.Z, b.Z))
+
+
+@jax.jit
+def point_double(p: Point) -> Point:
+    """Jacobian doubling (a = 0).  Infinity (Z=0) maps to infinity."""
+    A = fe_sq(p.X)
+    B = fe_sq(p.Y)
+    C = fe_sq(B)
+    t = fe_sq(fe_add(p.X, B))
+    D = fe_muli(fe_sub(fe_sub(t, A), C), 2)
+    E = fe_muli(A, 3)
+    F = fe_sq(E)
+    X3 = fe_sub(F, fe_muli(D, 2))
+    Y3 = fe_sub(fe_mul(E, fe_sub(D, X3)), fe_muli(C, 8))
+    Z3 = fe_muli(fe_mul(p.Y, p.Z), 2)
+    return Point(X3, Y3, Z3)
+
+
+@jax.jit
+def point_add(p: Point, q: Point) -> Point:
+    """Complete branch-free addition: handles inf, P+P, P+(-P)."""
+    z1z1 = fe_sq(p.Z)
+    z2z2 = fe_sq(q.Z)
+    u1 = fe_mul(p.X, z2z2)
+    u2 = fe_mul(q.X, z1z1)
+    s1 = fe_mul(fe_mul(p.Y, q.Z), z2z2)
+    s2 = fe_mul(fe_mul(q.Y, p.Z), z1z1)
+    h = fe_sub(u2, u1)
+    r = fe_sub(s2, s1)
+    hh = fe_sq(h)
+    hhh = fe_mul(h, hh)
+    v = fe_mul(u1, hh)
+    x3 = fe_sub(fe_sub(fe_sq(r), hhh), fe_muli(v, 2))
+    y3 = fe_sub(fe_mul(r, fe_sub(v, x3)), fe_mul(s1, hhh))
+    z3 = fe_mul(fe_mul(p.Z, q.Z), h)
+    added = Point(x3, y3, z3)
+
+    p_inf = bi.is_zero(p.Z)
+    q_inf = bi.is_zero(q.Z)
+    both = ~p_inf & ~q_inf
+    same_x = bi.is_zero(h) & both
+    same_y = bi.is_zero(r)
+    out = _select_pt(same_x & same_y, point_double(p), added)
+    out = _select_pt(same_x & ~same_y, point_infinity(x3.shape[:-1]), out)
+    out = _select_pt(q_inf, p, out)
+    out = _select_pt(p_inf, q, out)
+    return out
+
+
+@jax.jit
+def point_neg(p: Point) -> Point:
+    return Point(p.X, bi.mod_neg(p.Y, P_LIMBS), p.Z)
+
+
+@jax.jit
+def point_eq(p: Point, q: Point):
+    """Equality in Jacobian coordinates (cross-multiplied)."""
+    z1z1 = fe_sq(p.Z)
+    z2z2 = fe_sq(q.Z)
+    x_eq = bi.eq(fe_mul(p.X, z2z2), fe_mul(q.X, z1z1))
+    y_eq = bi.eq(fe_mul(fe_mul(p.Y, q.Z), z2z2), fe_mul(fe_mul(q.Y, p.Z), z1z1))
+    p_inf = bi.is_zero(p.Z)
+    q_inf = bi.is_zero(q.Z)
+    return (p_inf & q_inf) | (~p_inf & ~q_inf & x_eq & y_eq)
+
+
+WINDOW = 4
+
+
+@jax.jit
+def scalar_mul(k, p: Point) -> Point:
+    """k * P, fixed 4-bit windows, 64 fixed iterations, branch-free select.
+
+    k: [..., 16] canonical scalar limbs (< q); p: Point batch.
+    """
+    batch = jnp.broadcast_shapes(k.shape[:-1], p.X.shape[:-1])
+    k = jnp.broadcast_to(k, batch + (L,))
+    p = Point(*(jnp.broadcast_to(c, batch + (L,)) for c in p))
+    nent = 1 << WINDOW
+
+    # table [i] = i*P via lax.scan — the add body is traced exactly once,
+    # keeping the graph (and XLA compile time) small
+    def step(prev, _):
+        nxt = point_add(prev, p)
+        return nxt, nxt
+
+    _, tail = lax.scan(step, point_infinity(batch), None, length=nent - 1)
+    inf = point_infinity(batch)
+    tX = jnp.concatenate([inf.X[None], tail.X], axis=0)
+    tY = jnp.concatenate([inf.Y[None], tail.Y], axis=0)
+    tZ = jnp.concatenate([inf.Z[None], tail.Z], axis=0)
+    nw = 256 // WINDOW
+
+    def sel(digit):
+        ks = jnp.arange(nent, dtype=U32).reshape((nent,) + (1,) * (len(batch) + 1))
+        mask = digit[None, ..., None] == ks
+        pick = lambda t: jnp.sum(jnp.where(mask, t, jnp.uint32(0)), axis=0)
+        return Point(pick(tX), pick(tY), pick(tZ))
+
+    def body(j, acc):
+        wj = nw - 1 - j
+        bitpos = wj * WINDOW
+        limb = bitpos // LIMB_BITS
+        off = bitpos % LIMB_BITS
+        elimb = lax.dynamic_index_in_dim(k, limb, axis=-1, keepdims=False)
+        digit = (elimb >> off) & (nent - 1)
+        for _ in range(WINDOW):
+            acc = point_double(acc)
+        return point_add(acc, sel(digit))
+
+    return lax.fori_loop(0, nw, body, point_infinity(batch))
+
+
+@jax.jit
+def mul_generator(k):
+    """k * G (same kernel; fixed-base comb optimization comes later)."""
+    return scalar_mul(k, generator(k.shape[:-1]))
+
+
+@jax.jit
+def to_affine(p: Point):
+    """-> (x, y, is_inf).  x,y are zero at infinity."""
+    zinv = fe_inv(p.Z)
+    zinv2 = fe_sq(zinv)
+    x = fe_mul(p.X, zinv2)
+    y = fe_mul(p.Y, fe_mul(zinv2, zinv))
+    inf = bi.is_zero(p.Z)
+    zero = jnp.zeros_like(x)
+    return bi.select(~inf, x, zero), bi.select(~inf, y, zero), inf
+
+
+@jax.jit
+def x_coord_mod_q(p: Point):
+    """r = x(P) mod q — the ECDSA r extraction (gg_2018/party_i.rs:496)."""
+    x, _, _ = to_affine(p)
+    return bi.cond_sub(x, Q_LIMBS)[..., :L]
+
+
+# ---- host bridges ---------------------------------------------------------
+
+def points_to_host(p: Point):
+    """Device point batch -> nested python affine tuples (None = infinity)."""
+    x, y, inf = to_affine(p)
+    xs = batch_from_limbs(np.asarray(x))
+    ys = batch_from_limbs(np.asarray(y))
+    infs = np.asarray(inf)
+    flat_x, flat_y, flat_i = (
+        np.reshape(xs, -1),
+        np.reshape(ys, -1),
+        np.reshape(infs, -1),
+    )
+    out = np.empty(flat_x.shape[0], dtype=object)
+    for i in range(flat_x.shape[0]):
+        out[i] = None if flat_i[i] else (int(flat_x[i]), int(flat_y[i]))
+    return out.reshape(infs.shape) if infs.shape else out[0]
+
+
+def _is_point_leaf(p):
+    return p is None or (isinstance(p, tuple) and len(p) == 2 and isinstance(p[0], int))
+
+
+def _flatten_pts(pts):
+    """-> (flat list of leaves, batch shape). Leaves: (x, y) tuple or None."""
+    if _is_point_leaf(pts):
+        return [pts], ()
+    subs = [_flatten_pts(p) for p in pts]
+    inner = subs[0][1]
+    flat = [leaf for s, sh in subs for leaf in s]
+    return flat, (len(subs),) + inner
+
+
+def points_from_host(pts) -> Point:
+    """Nested python affine tuples (None = infinity) -> device point batch."""
+    flat, shape = _flatten_pts(pts)
+    X = np.zeros((len(flat), L), np.uint32)
+    Y = np.zeros((len(flat), L), np.uint32)
+    Z = np.zeros((len(flat), L), np.uint32)
+    for i, pt in enumerate(flat):
+        if pt is None:
+            X[i, 0] = Y[i, 0] = 1
+        else:
+            X[i] = batch_to_limbs(pt[0], L)
+            Y[i] = batch_to_limbs(pt[1], L)
+            Z[i, 0] = 1
+    rs = lambda a: jnp.asarray(a.reshape(shape + (L,)) if shape else a[0])
+    return Point(rs(X), rs(Y), rs(Z))
+
+
+def points_to_host_list(p: Point):
+    """points_to_host but always returns a nested python list."""
+    out = points_to_host(p)
+    return out.tolist() if isinstance(out, np.ndarray) else out

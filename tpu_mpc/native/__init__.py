@@ -1,0 +1,62 @@
+"""ctypes bindings for the native (C++) helpers.
+
+Builds lazily with g++ on first import if the shared object is missing
+(no pybind11 in this environment; ctypes keeps the binding dependency-free).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SO = os.path.join(_DIR, "libprimegen.so")
+_SRC = os.path.join(_DIR, "primegen.cpp")
+_lock = threading.Lock()
+_lib = None
+
+
+def _load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    with _lock:
+        if _lib is not None:
+            return _lib
+        if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+            subprocess.run(
+                ["g++", "-O2", "-shared", "-fPIC", "-o", _SO, _SRC],
+                check=True,
+                capture_output=True,
+            )
+        lib = ctypes.CDLL(_SO)
+        lib.tpu_mpc_gen_prime.argtypes = [ctypes.c_int, ctypes.c_uint64, ctypes.c_char_p]
+        lib.tpu_mpc_gen_prime.restype = ctypes.c_int
+        lib.tpu_mpc_is_prime.argtypes = [ctypes.c_char_p, ctypes.c_int, ctypes.c_uint64]
+        lib.tpu_mpc_is_prime.restype = ctypes.c_int
+        _lib = lib
+    return _lib
+
+
+class primegen:
+    """Namespace mirroring the python-side API (tpu_mpc.host.primes)."""
+
+    @staticmethod
+    def gen_prime(bits: int, seed: int) -> int | None:
+        if bits % 64 != 0 or bits < 128:
+            return None  # caller falls back to the python path
+        lib = _load()
+        buf = ctypes.create_string_buffer(bits // 8)
+        if lib.tpu_mpc_gen_prime(bits, seed & ((1 << 64) - 1), buf) != 0:
+            return None
+        return int.from_bytes(buf.raw, "little")
+
+    @staticmethod
+    def is_prime(n: int, seed: int = 1) -> bool:
+        lib = _load()
+        nbytes = max(1, (n.bit_length() + 7) // 8)
+        nbytes = ((nbytes + 7) // 8) * 8  # whole 64-bit words
+        data = n.to_bytes(nbytes, "little")
+        return lib.tpu_mpc_is_prime(data, nbytes, seed) == 1

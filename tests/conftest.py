@@ -11,10 +11,10 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
-# Persistent compilation cache: kernels are large constant-shape graphs that
-# recompile identically across test runs.
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
+# NOTE: JAX_COMPILATION_CACHE_DIR is deliberately NOT set — with this
+# jax/XLA build the persistent cache makes CPU compiles pathologically slow
+# (>3x the uncached compile).  Shape canonicalization in the kernels keeps
+# the number of distinct in-process compiles small instead.
 
 import random  # noqa: E402
 

@@ -85,14 +85,22 @@ def mul_cols(a, b):
     batch = jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1])
     out = jnp.zeros(batch + (La + Lb,), dtype=U32)
     if La <= 32:
-        # fully unrolled: static slices
-        for i in range(La):
-            p = a[..., i : i + 1] * b                     # exact: 16x16 -> 32
-            lo = p & LIMB_MASK
-            hi = p >> LIMB_BITS
-            out = out.at[..., i : i + Lb].add(lo)
-            out = out.at[..., i + 1 : i + Lb + 1].add(hi)
-        return out
+        # outer product + static-index gather: c[k] = sum_i P[i, k-i].
+        # Wrapped negative indices land in the zero padding, so no mask is
+        # needed.  Trace is a handful of ops (vs an unrolled slice loop),
+        # and the TPU gets one wide fused product instead of La updates.
+        K = La + Lb
+        P = a[..., :, None] * b[..., None, :]             # [..., La, Lb] exact
+        lo = jnp.pad(P & LIMB_MASK, [(0, 0)] * (P.ndim - 1) + [(0, K - Lb)])
+        hi = jnp.pad(P >> LIMB_BITS, [(0, 0)] * (P.ndim - 1) + [(0, K - Lb)])
+        i_idx = jnp.arange(La)[:, None]
+        k_idx = jnp.arange(K)[None, :]
+        idx_lo = (k_idx - i_idx) % K                      # static [La, K]
+        idx_hi = (k_idx - i_idx - 1) % K
+        shape = lo.shape[:-2] + (La, K)
+        g_lo = jnp.take_along_axis(lo, jnp.broadcast_to(idx_lo, shape), axis=-1)
+        g_hi = jnp.take_along_axis(hi, jnp.broadcast_to(idx_hi, shape), axis=-1)
+        return jnp.sum(g_lo, axis=-2) + jnp.sum(g_hi, axis=-2)
 
     def body(i, acc):
         ai = lax.dynamic_index_in_dim(a, i, axis=-1, keepdims=True)

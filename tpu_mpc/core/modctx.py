@@ -1,0 +1,99 @@
+"""ModCtx: host-int + device-Montgomery pairing for a batch of moduli.
+
+The ZK layer works in a hybrid split:
+  * modexps (the expensive part) run batched on device via mont_exp;
+  * multiplies/inversions/hashes (cheap, or data-dependent) run on host ints.
+
+ModCtx owns one batch of moduli in both forms and provides `pow` with
+canonical batch shapes + a fixed ladder of exponent-width classes, so the
+whole framework shares a small set of compiled modexp kernels.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+import jax.numpy as jnp
+
+from .limbs import batch_from_limbs, batch_to_limbs, nlimbs
+from .montgomery import MontCtx, mont_exp
+
+# exponent-width ladder (bits): actual exponents are zero-padded up to the
+# next class; extra windows square zeros, costing ~0-15% over exact width.
+EBITS_CLASSES = (
+    16, 64, 256, 512, 776, 1024, 1552, 2048, 2320, 2576, 2832, 3104, 4096
+)
+
+_MIN_BATCH = 4
+
+
+def ebits_class(bits: int) -> int:
+    for c in EBITS_CLASSES:
+        if bits <= c:
+            return c
+    raise ValueError(f"exponent too wide: {bits} bits")
+
+
+def _next_pow2(n: int) -> int:
+    p = _MIN_BATCH
+    while p < n:
+        p *= 2
+    return p
+
+
+def _flatten_pad(a, batch_shape):
+    a = jnp.broadcast_to(a, batch_shape + a.shape[len(batch_shape):]) if batch_shape else a
+    lead = int(np.prod(batch_shape)) if batch_shape else 1
+    flat = a.reshape((lead,) + a.shape[len(batch_shape):])
+    Bp = _next_pow2(lead)
+    if Bp != lead:
+        pad = jnp.broadcast_to(flat[0:1], (Bp - lead,) + flat.shape[1:])
+        flat = jnp.concatenate([flat, pad], axis=0)
+    return flat
+
+
+@dataclasses.dataclass
+class ModCtx:
+    """A batch of moduli: host ints [..] + device MontCtx (limbs [.., L])."""
+
+    n_ints: np.ndarray            # object ndarray of python ints
+    ctx: MontCtx
+    bits: int
+
+    @classmethod
+    def from_ints(cls, ns, bits: int) -> "ModCtx":
+        ns = np.asarray(ns, dtype=object)
+        return cls(n_ints=ns, ctx=MontCtx.from_ints(ns, bits), bits=bits)
+
+    @property
+    def batch_shape(self):
+        return self.n_ints.shape
+
+    def pow(self, base_ints, exp_ints, ebits_hint: int | None = None) -> np.ndarray:
+        """(base ** exp) mod n, batched on device.  All inputs are object
+        ndarrays of ints (broadcast against the modulus batch).  Exponents
+        must be non-negative and < 2^ebits_hint (default: measured)."""
+        base = np.asarray(base_ints, dtype=object)
+        expv = np.asarray(exp_ints, dtype=object)
+        shape = np.broadcast_shapes(base.shape, expv.shape, self.batch_shape)
+        base = np.broadcast_to(base, shape)
+        expv = np.broadcast_to(expv, shape)
+        if ebits_hint is None:
+            flat = expv.reshape(-1)
+            ebits_hint = max((int(v).bit_length() for v in flat.tolist()), default=1)
+        eb = ebits_class(max(ebits_hint, 1))
+        L = nlimbs(self.bits)
+        Le = nlimbs(eb)
+        x = jnp.asarray(batch_to_limbs(np.mod(base, np.broadcast_to(self.n_ints, shape)), L))
+        e = jnp.asarray(batch_to_limbs(expv, Le))
+        xf = _flatten_pad(x, shape)
+        ef = _flatten_pad(e, shape)
+        # ctx arrays broadcast right-aligned to the operand batch (the ctx
+        # batch shape must be numpy-broadcast-compatible with `shape`)
+        bc = lambda a: _flatten_pad(jnp.broadcast_to(a, shape + a.shape[-1:]), shape)
+        ctxf = MontCtx(bc(self.ctx.n), bc(self.ctx.n0inv), bc(self.ctx.r2), bc(self.ctx.rone))
+        out = mont_exp(xf, ef, ctxf, ebits=eb)
+        lead = int(np.prod(shape)) if shape else 1
+        res = batch_from_limbs(np.asarray(out[:lead]))
+        return res.reshape(shape) if shape else res

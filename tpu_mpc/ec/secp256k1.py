@@ -185,39 +185,52 @@ def _select_pt(mask, a: Point, b: Point) -> Point:
     return Point(bi.select(mask, a.X, b.X), bi.select(mask, a.Y, b.Y), bi.select(mask, a.Z, b.Z))
 
 
+def _fem(*pairs):
+    """Batch several independent field multiplies into ONE fe_mul call.
+
+    Stacking independent muls along a new leading axis keeps the traced
+    graph small (one multiplier instance per dependency layer instead of
+    per product) and gives the TPU VPU wider lanes.
+    """
+    a = jnp.stack([p[0] for p in pairs], axis=0)
+    b = jnp.stack([p[1] for p in pairs], axis=0)
+    out = fe_mul(a, b)
+    return [out[i] for i in range(len(pairs))]
+
+
 @jax.jit
 def point_double(p: Point) -> Point:
-    """Jacobian doubling (a = 0).  Infinity (Z=0) maps to infinity."""
-    A = fe_sq(p.X)
-    B = fe_sq(p.Y)
-    C = fe_sq(B)
-    t = fe_sq(fe_add(p.X, B))
-    D = fe_muli(fe_sub(fe_sub(t, A), C), 2)
+    """Jacobian doubling (a = 0), layered muls.  Z=0 (infinity) -> Z3=0."""
+    A, B = _fem((p.X, p.X), (p.Y, p.Y))
+    C, T, YZ = _fem((B, B), (fe_add(p.X, B), fe_add(p.X, B)), (p.Y, p.Z))
+    D = fe_muli(fe_sub(fe_sub(T, A), C), 2)
     E = fe_muli(A, 3)
-    F = fe_sq(E)
+    (F,) = _fem((E, E))
     X3 = fe_sub(F, fe_muli(D, 2))
-    Y3 = fe_sub(fe_mul(E, fe_sub(D, X3)), fe_muli(C, 8))
-    Z3 = fe_muli(fe_mul(p.Y, p.Z), 2)
+    (EDX,) = _fem((E, fe_sub(D, X3)))
+    Y3 = fe_sub(EDX, fe_muli(C, 8))
+    Z3 = fe_muli(YZ, 2)
     return Point(X3, Y3, Z3)
 
 
 @jax.jit
 def point_add(p: Point, q: Point) -> Point:
     """Complete branch-free addition: handles inf, P+P, P+(-P)."""
-    z1z1 = fe_sq(p.Z)
-    z2z2 = fe_sq(q.Z)
-    u1 = fe_mul(p.X, z2z2)
-    u2 = fe_mul(q.X, z1z1)
-    s1 = fe_mul(fe_mul(p.Y, q.Z), z2z2)
-    s2 = fe_mul(fe_mul(q.Y, p.Z), z1z1)
+    batch = jnp.broadcast_shapes(p.X.shape[:-1], q.X.shape[:-1])
+    p = Point(*(jnp.broadcast_to(c, batch + (L,)) for c in p))
+    q = Point(*(jnp.broadcast_to(c, batch + (L,)) for c in q))
+    z1z1, z2z2 = _fem((p.Z, p.Z), (q.Z, q.Z))
+    u1, u2, t1, t2, z12 = _fem(
+        (p.X, z2z2), (q.X, z1z1), (p.Y, q.Z), (q.Y, p.Z), (p.Z, q.Z)
+    )
+    s1, s2 = _fem((t1, z2z2), (t2, z1z1))
     h = fe_sub(u2, u1)
     r = fe_sub(s2, s1)
-    hh = fe_sq(h)
-    hhh = fe_mul(h, hh)
-    v = fe_mul(u1, hh)
-    x3 = fe_sub(fe_sub(fe_sq(r), hhh), fe_muli(v, 2))
-    y3 = fe_sub(fe_mul(r, fe_sub(v, x3)), fe_mul(s1, hhh))
-    z3 = fe_mul(fe_mul(p.Z, q.Z), h)
+    hh, rr = _fem((h, h), (r, r))
+    hhh, v, z3 = _fem((h, hh), (u1, hh), (z12, h))
+    x3 = fe_sub(fe_sub(rr, hhh), fe_muli(v, 2))
+    a1, a2 = _fem((r, fe_sub(v, x3)), (s1, hhh))
+    y3 = fe_sub(a1, a2)
     added = Point(x3, y3, z3)
 
     p_inf = bi.is_zero(p.Z)
@@ -251,9 +264,64 @@ def point_eq(p: Point, q: Point):
 
 WINDOW = 4
 
+# --- batch-shape canonicalization -----------------------------------------
+# XLA compiles one kernel per distinct shape, and the heavyweight kernels
+# (windowed scalar-mul) take minutes to compile on the CPU backend.  Public
+# entry points therefore flatten leading batch dims and pad to the next
+# power of two (>= 4): the whole test/protocol suite shares a handful of
+# compiled kernels, all persisted in the JAX compilation cache.
+
+_MIN_BATCH = 4
+
+
+def _next_pow2(n: int) -> int:
+    p = _MIN_BATCH
+    while p < n:
+        p *= 2
+    return p
+
+
+def _canon_flatten(arr, batch):
+    """[batch..., L] -> padded [B', L] (pad rows repeat row 0)."""
+    L_ = arr.shape[-1]
+    arr = jnp.broadcast_to(arr, batch + (L_,))
+    B = 1
+    for d in batch:
+        B *= d
+    flat = arr.reshape((B, L_)) if batch else arr.reshape((1, L_))
+    Bp = _next_pow2(max(B, 1))
+    if Bp != flat.shape[0]:
+        pad = jnp.broadcast_to(flat[0:1], (Bp - flat.shape[0], L_))
+        flat = jnp.concatenate([flat, pad], axis=0)
+    return flat
+
+
+def _canon_unflatten(arr, batch):
+    B = 1
+    for d in batch:
+        B *= d
+    return arr[:B].reshape(batch + arr.shape[-1:]) if batch else arr[0]
+
+
+def scalar_mul(k, p: Point) -> Point:
+    """k * P, batched, with canonical batch shapes (see above)."""
+    batch = jnp.broadcast_shapes(k.shape[:-1], p.X.shape[:-1])
+    kf = _canon_flatten(k, batch)
+    pf = Point(*(_canon_flatten(c, batch) for c in p))
+    out = _scalar_mul_jit(kf, pf)
+    return Point(*(_canon_unflatten(c, batch) for c in out))
+
+
+def mul_generator(k):
+    """k * G (same kernel; fixed-base comb optimization comes later)."""
+    batch = k.shape[:-1]
+    kf = _canon_flatten(k, batch)
+    out = _scalar_mul_jit(kf, generator((kf.shape[0],)))
+    return Point(*(_canon_unflatten(c, batch) for c in out))
+
 
 @jax.jit
-def scalar_mul(k, p: Point) -> Point:
+def _scalar_mul_jit(k, p: Point) -> Point:
     """k * P, fixed 4-bit windows, 64 fixed iterations, branch-free select.
 
     k: [..., 16] canonical scalar limbs (< q); p: Point batch.
@@ -294,12 +362,6 @@ def scalar_mul(k, p: Point) -> Point:
         return point_add(acc, sel(digit))
 
     return lax.fori_loop(0, nw, body, point_infinity(batch))
-
-
-@jax.jit
-def mul_generator(k):
-    """k * G (same kernel; fixed-base comb optimization comes later)."""
-    return scalar_mul(k, generator(k.shape[:-1]))
 
 
 @jax.jit

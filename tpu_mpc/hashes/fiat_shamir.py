@@ -1,0 +1,61 @@
+"""Batched Fiat-Shamir hashing (host-side SHA-256 over session batches).
+
+The curv convention (DigestExt, used for every challenge in the reference —
+e.g. range_proofs.rs:143-150, zk_pdl_with_slack/mod.rs:102-110):
+each value is appended as its minimal big-endian byte string; EC points as
+33-byte SEC1 compressed (equivalent to chain_bigint of the bytes as an int,
+since the 02/03 prefix is never zero).
+
+hashlib is C-speed (~1 GB/s); at a few KB per session this stays <5% of a
+round's budget even at 4096 sessions, so host hashing between device kernels
+is the right v1 split.  Device-side batched SHA-256 is a later optimization.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+from ..ec import secp256k1 as ec
+from ..host import ec as hec
+from ..host.serde import bigint_to_bytes
+
+Q = hec.N
+
+
+def point_hash_ints(P: ec.Point) -> np.ndarray:
+    """Device point batch -> object array of ints (compressed-bytes-as-int)."""
+    pts = ec.points_to_host(P)
+    flat = np.reshape(np.asarray(pts, dtype=object), -1)
+    out = np.empty(flat.shape, dtype=object)
+    for i, p in enumerate(flat):
+        out[i] = int.from_bytes(hec.compress(p), "big")
+    return out.reshape(np.shape(pts)) if np.shape(pts) else out[0]
+
+
+def digest_rows(*columns, reduce_mod=None) -> np.ndarray:
+    """SHA-256 over rows of chained big-endian-encoded ints.
+
+    Each column is an object ndarray (or scalar int) of python ints; all
+    columns broadcast to a common batch shape.  Returns object ndarray of
+    ints (optionally reduced mod `reduce_mod`).
+    """
+    cols = [np.asarray(c, dtype=object) for c in columns]
+    shape = np.broadcast_shapes(*(c.shape for c in cols))
+    cols = [np.broadcast_to(c, shape) for c in cols]
+    flat = [c.reshape(-1) for c in cols]
+    n = flat[0].shape[0] if shape else 1
+    out = np.empty(n, dtype=object)
+    for i in range(n):
+        h = hashlib.sha256()
+        for c in flat:
+            h.update(bigint_to_bytes(int(c[i] if shape else c[()])))
+        v = int.from_bytes(h.digest(), "big")
+        out[i] = v % reduce_mod if reduce_mod else v
+    return out.reshape(shape) if shape else out[0]
+
+
+def commit_rows(msg_ints, blind_ints) -> np.ndarray:
+    """Batched curv HashCommitment: H(message || blinding)."""
+    return digest_rows(msg_ints, blind_ints)

@@ -1,0 +1,137 @@
+"""Batched non-interactive PDL-with-slack proof.
+
+Re-implementation of /root/reference/src/utilities/zk_pdl_with_slack/mod.rs
+(PDLwSlackProof::{prove,verify} :67-180): proves a Paillier ciphertext
+decrypts to the dlog of Q w.r.t. base G, with range slack [-q^3, q^3].
+Used by GG20 phase 5 (party_i.rs:691-766) and Lindell'17 keygen.
+
+Hash order matches mod.rs:102-110: H(G, Q, c, z, u1, u2, u3) with points as
+compressed-bytes-ints.  The verifier's negative exponents (mod.rs:182-199
+commitment_unknown_order with -e) become host-side modular inverses.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from ..core.limbs import batch_from_limbs
+from ..ec import secp256k1 as dec
+from ..hashes.fiat_shamir import digest_rows, point_hash_ints
+from ..host import ec as hec
+from .range_proofs import DlogStatementBatch, PaillierCtxBatch, _invmod, _mulmod
+
+Q = hec.N
+Q3 = Q**3
+
+
+@dataclasses.dataclass
+class PDLwSlackStatementBatch:
+    ciphertext: np.ndarray       # object ints
+    ek: PaillierCtxBatch
+    Q_pt: dec.Point              # device point batch (the claimed x*G)
+    G_pt: dec.Point              # base point batch
+    dlog: DlogStatementBatch     # verifier's (h1, h2, N_tilde)
+
+
+@dataclasses.dataclass
+class PDLwSlackProofBatch:
+    z: np.ndarray
+    u1_x: np.ndarray             # u1 as affine ints (point on wire)
+    u1_y: np.ndarray
+    u2: np.ndarray
+    u3: np.ndarray
+    s1: np.ndarray
+    s2: np.ndarray
+    s3: np.ndarray
+
+
+def _u1_hash_ints(u1_x, u1_y):
+    from .range_proofs import pts_from_xy
+
+    return point_hash_ints(pts_from_xy(u1_x, u1_y))
+
+
+def pdl_slack_prove(x_ints, r_ints, stmt: PDLwSlackStatementBatch, rng) -> PDLwSlackProofBatch:
+    """x: dlog witness (< q); r: Paillier randomness of the ciphertext."""
+    x = np.asarray(x_ints, dtype=object)
+    shape = np.broadcast_shapes(x.shape, stmt.dlog.ctx.batch_shape, stmt.ek.n_ctx.batch_shape)
+    n_t = np.broadcast_to(stmt.dlog.ctx.n_ints, shape)
+    n = np.broadcast_to(stmt.ek.n, shape)
+    nn = np.broadcast_to(stmt.ek.nn, shape)
+
+    alpha = rng.below(Q3, shape)
+    one = np.ones(shape, dtype=object) if shape else 1
+    beta = rng.below(n - 1, shape) + one          # sample_range(1, n-1)
+    rho = rng.below(Q * n_t, shape)
+    gamma = rng.below(Q3 * n_t, shape)
+
+    z = _mulmod(stmt.dlog.ctx.pow(stmt.dlog.h1, x, 256), stmt.dlog.ctx.pow(stmt.dlog.h2, rho, 2320), n_t)
+    u1_pt = dec.scalar_mul(dec.sc_from_ints(np.mod(alpha, Q)), stmt.G_pt)
+    u1x_l, u1y_l, _ = dec.to_affine(u1_pt)
+    u1_x = batch_from_limbs(np.asarray(u1x_l))
+    u1_y = batch_from_limbs(np.asarray(u1y_l))
+    u2 = _mulmod(
+        stmt.ek.nn_ctx.pow(n + 1, alpha, 776),
+        stmt.ek.nn_ctx.pow(beta, n, 2048),
+        nn,
+    )
+    u3 = _mulmod(stmt.dlog.ctx.pow(stmt.dlog.h1, alpha, 776), stmt.dlog.ctx.pow(stmt.dlog.h2, gamma, 2832), n_t)
+
+    e = digest_rows(
+        point_hash_ints(stmt.G_pt),
+        point_hash_ints(stmt.Q_pt),
+        stmt.ciphertext,
+        z,
+        _u1_hash_ints(u1_x, u1_y),
+        u2,
+        u3,
+    )
+    s1 = e * x + alpha
+    s2 = _mulmod(stmt.ek.n_ctx.pow(r_ints, e, 256), beta, n)
+    s3 = e * rho + gamma
+    return PDLwSlackProofBatch(z=z, u1_x=u1_x, u1_y=u1_y, u2=u2, u3=u3, s1=s1, s2=s2, s3=s3)
+
+
+def pdl_slack_verify(proof: PDLwSlackProofBatch, stmt: PDLwSlackStatementBatch) -> np.ndarray:
+    from .range_proofs import pts_from_xy
+
+    shape = np.broadcast_shapes(np.shape(proof.z), stmt.dlog.ctx.batch_shape, stmt.ek.n_ctx.batch_shape)
+    n_t = np.broadcast_to(stmt.dlog.ctx.n_ints, shape)
+    n = np.broadcast_to(stmt.ek.n, shape)
+    nn = np.broadcast_to(stmt.ek.nn, shape)
+
+    e = digest_rows(
+        point_hash_ints(stmt.G_pt),
+        point_hash_ints(stmt.Q_pt),
+        stmt.ciphertext,
+        proof.z,
+        _u1_hash_ints(proof.u1_x, proof.u1_y),
+        proof.u2,
+        proof.u3,
+    )
+    # u1 check: s1 G + (q - e) Q == u1   (mod.rs:138-142)
+    s1_mod = np.mod(np.asarray(proof.s1, dtype=object), Q)
+    e_neg = np.mod(Q - np.mod(e, Q), Q)
+    u1_test = dec.point_add(
+        dec.scalar_mul(dec.sc_from_ints(np.broadcast_to(s1_mod, shape)), stmt.G_pt),
+        dec.scalar_mul(dec.sc_from_ints(np.broadcast_to(e_neg, shape)), stmt.Q_pt),
+    )
+    u1_ok = np.asarray(dec.point_eq(u1_test, pts_from_xy(proof.u1_x, proof.u1_y)))
+
+    u2_test = _mulmod(
+        stmt.ek.nn_ctx.pow(n + 1, proof.s1, 776),
+        stmt.ek.nn_ctx.pow(proof.s2, n, 2048),
+        _invmod(stmt.ek.nn_ctx.pow(stmt.ciphertext, e, 256), nn),
+        nn,
+    )
+    u3_test = _mulmod(
+        stmt.dlog.ctx.pow(stmt.dlog.h1, proof.s1, 776),
+        stmt.dlog.ctx.pow(stmt.dlog.h2, proof.s3, 2832),
+        _invmod(stmt.dlog.ctx.pow(proof.z, e, 256), n_t),
+        n_t,
+    )
+    u2_ok = u2_test == np.broadcast_to(np.asarray(proof.u2, dtype=object), shape)
+    u3_ok = u3_test == np.broadcast_to(np.asarray(proof.u3, dtype=object), shape)
+    return u1_ok & u2_ok & u3_ok

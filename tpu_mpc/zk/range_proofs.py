@@ -1,0 +1,325 @@
+"""Batched MtA range proofs (GG19 Appendix A; ING-derived).
+
+Re-implementation of /root/reference/src/utilities/mta/range_proofs.rs
+(AliceProof :103-193, BobProof :320-487, BobProofExt :491-535) with the
+hybrid split: all modexps batched on device (ModCtx.pow), multiplies /
+inverses / SHA-256 on host ints.
+
+Proof shapes and checks mirror the reference exactly:
+
+  AliceProof(z, e, s, s1, s2) proves Enc plaintext a < q^3:
+    z = h1^a h2^rho mod ~N; u = (alpha N + 1) beta^N mod N^2;
+    w = h1^alpha h2^gamma mod ~N; e = H(N, N+1, c, z, u, w);
+    s = r^e beta mod N; s1 = e a + alpha; s2 = e rho + gamma.
+    Verify recomputes u, w from the responses and the e-inverses
+    (range_proofs.rs:105-156), checks s1 <= q^3 and the hash.
+
+  BobProof(t, z, e, s, s1, s2, t1, t2) (+ u point for the "wc" variant)
+    proves the MessageB response is well-formed (range_proofs.rs:214-298);
+    the wc variant appends X=bG, u=alpha G to the hash and checks
+    s1 G == e X + u (range_proofs.rs:522-529).
+
+Sampling domains follow range_proofs.rs:48-51, 231-237 (incl. the comment
+deviations: gamma in [0, q^2 N), tau in [0, q^3 ~N)).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from ..core.modctx import ModCtx
+from ..hashes.fiat_shamir import digest_rows
+from ..host import ec as hec
+
+Q = hec.N
+Q3 = Q**3
+
+
+@dataclasses.dataclass
+class DlogStatementBatch:
+    """(N_tilde, h1, h2) batch — the ring-Pedersen setup of each party."""
+
+    ctx: ModCtx               # N_tilde moduli
+    h1: np.ndarray
+    h2: np.ndarray
+
+    @classmethod
+    def from_ints(cls, n_tildes, h1s, h2s, bits: int = 2048):
+        return cls(
+            ctx=ModCtx.from_ints(n_tildes, bits),
+            h1=np.asarray(h1s, dtype=object),
+            h2=np.asarray(h2s, dtype=object),
+        )
+
+
+@dataclasses.dataclass
+class PaillierCtxBatch:
+    """Alice's Paillier public key batch with device ctxs for N and N^2."""
+
+    n_ctx: ModCtx
+    nn_ctx: ModCtx
+
+    @classmethod
+    def from_ints(cls, ns, bits: int = 2048):
+        ns = np.asarray(ns, dtype=object)
+        return cls(
+            n_ctx=ModCtx.from_ints(ns, bits),
+            nn_ctx=ModCtx.from_ints(ns * ns, 2 * bits),
+        )
+
+    @property
+    def n(self):
+        return self.n_ctx.n_ints
+
+    @property
+    def nn(self):
+        return self.nn_ctx.n_ints
+
+
+def _mulmod(*arrays_then_mod) -> np.ndarray:
+    """Elementwise product of object arrays modulo the last argument."""
+    *arrays, mod = arrays_then_mod
+    arrays = [np.asarray(a, dtype=object) for a in arrays]
+    mod = np.asarray(mod, dtype=object)
+    shape = np.broadcast_shapes(*(a.shape for a in arrays), mod.shape)
+    flat = [np.broadcast_to(a, shape).reshape(-1) for a in arrays]
+    fm = np.broadcast_to(mod, shape).reshape(-1)
+    out = np.empty(fm.shape[0], dtype=object)
+    for b in range(fm.shape[0]):
+        acc = 1
+        m = int(fm[b])
+        for a in flat:
+            acc = acc * int(a[b]) % m
+        out[b] = acc
+    return out.reshape(shape)
+
+
+def pts_from_xy(xs, ys):
+    """Affine coordinate object-arrays -> device Point batch of same shape."""
+    from ..ec import secp256k1 as dec
+
+    xs = np.asarray(xs, dtype=object)
+    ys = np.asarray(ys, dtype=object)
+    shape = np.broadcast_shapes(xs.shape, ys.shape)
+    fx = np.broadcast_to(xs, shape).reshape(-1)
+    fy = np.broadcast_to(ys, shape).reshape(-1)
+    P = dec.points_from_host([(int(a), int(b)) for a, b in zip(fx, fy)])
+    rs = lambda c: c.reshape(shape + (c.shape[-1],))
+    return dec.Point(rs(P.X), rs(P.Y), rs(P.Z))
+
+
+def _invmod(a, mod) -> np.ndarray:
+    a = np.asarray(a, dtype=object)
+    mod = np.asarray(mod, dtype=object)
+    shape = np.broadcast_shapes(a.shape, mod.shape)
+    fa = np.broadcast_to(a, shape).reshape(-1)
+    fm = np.broadcast_to(mod, shape).reshape(-1)
+    out = np.empty(fa.shape[0], dtype=object)
+    for b in range(fa.shape[0]):
+        try:
+            out[b] = pow(int(fa[b]), -1, int(fm[b]))
+        except ValueError:
+            out[b] = 0  # non-invertible -> verification will fail
+    return out.reshape(shape)
+
+
+@dataclasses.dataclass
+class AliceProofBatch:
+    z: np.ndarray
+    e: np.ndarray
+    s: np.ndarray
+    s1: np.ndarray
+    s2: np.ndarray
+
+
+def alice_prove(a_ints, cipher, ek: PaillierCtxBatch, stmt: DlogStatementBatch, r_ints, rng) -> AliceProofBatch:
+    """a: plaintexts (< q); cipher: Enc(a); r: encryption randomness."""
+    a = np.asarray(a_ints, dtype=object)
+    shape = np.broadcast_shapes(a.shape, stmt.ctx.batch_shape, ek.n_ctx.batch_shape)
+    n_t = np.broadcast_to(stmt.ctx.n_ints, shape)
+    alpha = rng.below(Q3, shape)
+    beta = rng.units_below(np.broadcast_to(ek.n, shape), shape)
+    gamma = rng.below(Q3 * n_t, shape)
+    rho = rng.below(Q * n_t, shape)
+
+    z = _mulmod(stmt.ctx.pow(stmt.h1, a, 256), stmt.ctx.pow(stmt.h2, rho, 2320), n_t)
+    beta_n = ek.nn_ctx.pow(beta, np.broadcast_to(ek.n, shape), 2048)
+    u = _mulmod(alpha * np.broadcast_to(ek.n, shape) + 1, beta_n, np.broadcast_to(ek.nn, shape))
+    w = _mulmod(stmt.ctx.pow(stmt.h1, alpha, 776), stmt.ctx.pow(stmt.h2, gamma, 2832), n_t)
+
+    gen = np.broadcast_to(ek.n, shape) + 1
+    e = digest_rows(np.broadcast_to(ek.n, shape), gen, cipher, z, u, w)
+
+    s = _mulmod(ek.n_ctx.pow(r_ints, e, 256), beta, np.broadcast_to(ek.n, shape))
+    s1 = e * a + alpha
+    s2 = e * rho + gamma
+    return AliceProofBatch(z=z, e=e, s=s, s1=s1, s2=s2)
+
+
+def alice_verify(proof: AliceProofBatch, cipher, ek: PaillierCtxBatch, stmt: DlogStatementBatch) -> np.ndarray:
+    shape = np.broadcast_shapes(
+        np.shape(proof.z), stmt.ctx.batch_shape, ek.n_ctx.batch_shape, np.shape(cipher)
+    )
+    n_t = np.broadcast_to(stmt.ctx.n_ints, shape)
+    nn = np.broadcast_to(ek.nn, shape)
+    n = np.broadcast_to(ek.n, shape)
+
+    range_ok = np.vectorize(lambda v: int(v) <= Q3, otypes=[bool])(
+        np.broadcast_to(np.asarray(proof.s1, dtype=object), shape)
+    )
+
+    z_e = stmt.ctx.pow(proof.z, proof.e, 256)
+    w = _mulmod(
+        stmt.ctx.pow(stmt.h1, proof.s1, 776),
+        stmt.ctx.pow(stmt.h2, proof.s2, 2832),
+        _invmod(z_e, n_t),
+        n_t,
+    )
+    s_n = ek.nn_ctx.pow(proof.s, n, 2048)
+    c_e = ek.nn_ctx.pow(cipher, proof.e, 256)
+    u = _mulmod(
+        np.broadcast_to(np.asarray(proof.s1, dtype=object), shape) * n + 1,
+        s_n,
+        _invmod(c_e, nn),
+        nn,
+    )
+    e_check = digest_rows(n, n + 1, cipher, proof.z, u, w)
+    return range_ok & (e_check == np.broadcast_to(np.asarray(proof.e, dtype=object), shape))
+
+
+@dataclasses.dataclass
+class BobProofBatch:
+    t: np.ndarray
+    z: np.ndarray
+    e: np.ndarray
+    s: np.ndarray
+    s1: np.ndarray
+    s2: np.ndarray
+    t1: np.ndarray
+    t2: np.ndarray
+    # wc ("with check") extension: u = alpha G as affine coordinate pairs
+    u_x: np.ndarray | None = None
+    u_y: np.ndarray | None = None
+
+
+def bob_prove(
+    b_ints,
+    beta_prim,
+    a_enc,
+    mta_enc,
+    r_ints,
+    ek: PaillierCtxBatch,
+    stmt: DlogStatementBatch,
+    rng,
+    check: bool = False,
+    X_pts=None,  # affine (x, y) object arrays, required when check=True
+) -> BobProofBatch:
+    b_arr = np.asarray(b_ints, dtype=object)
+    shape = np.broadcast_shapes(b_arr.shape, stmt.ctx.batch_shape, ek.n_ctx.batch_shape)
+    n_t = np.broadcast_to(stmt.ctx.n_ints, shape)
+    n = np.broadcast_to(ek.n, shape)
+    nn = np.broadcast_to(ek.nn, shape)
+
+    alpha = rng.below(Q3, shape)
+    beta = rng.units_below(n, shape)
+    gamma = rng.below(Q * Q * n, shape)
+    rho = rng.below(Q * n_t, shape)
+    rho_prim = rng.below(Q3 * n_t, shape)
+    sigma = rng.below(Q * n_t, shape)
+    tau = rng.below(Q3 * n_t, shape)
+
+    z = _mulmod(stmt.ctx.pow(stmt.h1, b_arr, 256), stmt.ctx.pow(stmt.h2, rho, 2320), n_t)
+    z_prim = _mulmod(stmt.ctx.pow(stmt.h1, alpha, 776), stmt.ctx.pow(stmt.h2, rho_prim, 2832), n_t)
+    t = _mulmod(stmt.ctx.pow(stmt.h1, beta_prim, 2048), stmt.ctx.pow(stmt.h2, sigma, 2320), n_t)
+    w = _mulmod(stmt.ctx.pow(stmt.h1, gamma, 2576), stmt.ctx.pow(stmt.h2, tau, 2832), n_t)
+    v = _mulmod(
+        ek.nn_ctx.pow(a_enc, alpha, 776),
+        gamma * n + 1,
+        ek.nn_ctx.pow(beta, n, 2048),
+        nn,
+    )
+
+    gen = n + 1
+    hash_cols = [n, gen, a_enc, mta_enc, z, z_prim, t, v, w]
+    u_x = u_y = None
+    if check:
+        from ..ec import secp256k1 as dec
+        from ..core.limbs import batch_from_limbs
+
+        alpha_pts = dec.mul_generator(dec.sc_from_ints(np.mod(alpha, Q)))
+        ux_l, uy_l, _ = dec.to_affine(alpha_pts)
+        u_x = batch_from_limbs(np.asarray(ux_l))
+        u_y = batch_from_limbs(np.asarray(uy_l))
+        X_x, X_y = X_pts
+        hash_cols += [np.broadcast_to(np.asarray(X_x, dtype=object), shape),
+                      np.broadcast_to(np.asarray(X_y, dtype=object), shape),
+                      u_x, u_y]
+    e = digest_rows(*hash_cols)
+
+    s = _mulmod(ek.n_ctx.pow(r_ints, e, 256), beta, n)
+    s1 = e * b_arr + alpha
+    s2 = e * rho + rho_prim
+    t1 = e * np.broadcast_to(np.asarray(beta_prim, dtype=object), shape) + gamma
+    t2 = e * sigma + tau
+    return BobProofBatch(t=t, z=z, e=e, s=s, s1=s1, s2=s2, t1=t1, t2=t2, u_x=u_x, u_y=u_y)
+
+
+def bob_verify(
+    proof: BobProofBatch,
+    a_enc,
+    mta_enc,
+    ek: PaillierCtxBatch,
+    stmt: DlogStatementBatch,
+    X_pts=None,  # (x, y) affine arrays of X = b G for the wc variant
+) -> np.ndarray:
+    shape = np.broadcast_shapes(np.shape(proof.z), stmt.ctx.batch_shape, ek.n_ctx.batch_shape)
+    n_t = np.broadcast_to(stmt.ctx.n_ints, shape)
+    n = np.broadcast_to(ek.n, shape)
+    nn = np.broadcast_to(ek.nn, shape)
+
+    range_ok = np.vectorize(lambda v: int(v) <= Q3, otypes=[bool])(
+        np.broadcast_to(np.asarray(proof.s1, dtype=object), shape)
+    )
+
+    z_e = stmt.ctx.pow(proof.z, proof.e, 256)
+    z_prim = _mulmod(
+        stmt.ctx.pow(stmt.h1, proof.s1, 776),
+        stmt.ctx.pow(stmt.h2, proof.s2, 2832),
+        _invmod(z_e, n_t),
+        n_t,
+    )
+    mta_e = ek.nn_ctx.pow(mta_enc, proof.e, 256)
+    v = _mulmod(
+        ek.nn_ctx.pow(a_enc, proof.s1, 776),
+        ek.nn_ctx.pow(proof.s, n, 2048),
+        np.broadcast_to(np.asarray(proof.t1, dtype=object), shape) * n + 1,
+        _invmod(mta_e, nn),
+        nn,
+    )
+    t_e = stmt.ctx.pow(proof.t, proof.e, 256)
+    w = _mulmod(
+        stmt.ctx.pow(stmt.h1, proof.t1, 2576),
+        stmt.ctx.pow(stmt.h2, proof.t2, 2832),
+        _invmod(t_e, n_t),
+        n_t,
+    )
+    hash_cols = [n, n + 1, a_enc, mta_enc, proof.z, z_prim, proof.t, v, w]
+    wc_ok = np.ones(shape, dtype=bool)
+    if X_pts is not None:
+        X_x, X_y = (np.broadcast_to(np.asarray(c, dtype=object), shape) for c in X_pts)
+        u_x = np.broadcast_to(np.asarray(proof.u_x, dtype=object), shape)
+        u_y = np.broadcast_to(np.asarray(proof.u_y, dtype=object), shape)
+        hash_cols += [X_x, X_y, u_x, u_y]
+        # EC check: s1 G == e X + u
+        from ..ec import secp256k1 as dec
+
+        s1_pts = dec.mul_generator(dec.sc_from_ints(np.mod(np.broadcast_to(np.asarray(proof.s1, dtype=object), shape), Q)))
+        e_mod = np.mod(np.broadcast_to(np.asarray(proof.e, dtype=object), shape), Q)
+        X_dev = pts_from_xy(X_x, X_y)
+        u_dev = pts_from_xy(u_x, u_y)
+        rhs = dec.point_add(dec.scalar_mul(dec.sc_from_ints(e_mod), X_dev), u_dev)
+        wc_ok = np.asarray(dec.point_eq(s1_pts, rhs))
+    e_check = digest_rows(*hash_cols)
+    return range_ok & wc_ok & (e_check == np.broadcast_to(np.asarray(proof.e, dtype=object), shape))

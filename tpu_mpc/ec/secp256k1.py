@@ -383,6 +383,38 @@ def x_coord_mod_q(p: Point):
     return bi.cond_sub(x, Q_LIMBS)[..., :L]
 
 
+# ---- point-batch utilities ------------------------------------------------
+
+def point_take(p: Point, indices, axis: int) -> Point:
+    idx = jnp.asarray(indices)
+    return Point(*(jnp.take(c, idx, axis=axis) for c in p))
+
+
+def point_index_axis(p: Point, k: int, axis: int) -> Point:
+    return Point(*(jnp.take(c, k, axis=axis) for c in p))
+
+
+def point_expand(p: Point, axis: int) -> Point:
+    return Point(*(jnp.expand_dims(c, axis) for c in p))
+
+
+def point_stack(pts, axis: int = 0) -> Point:
+    return Point(
+        jnp.stack([p.X for p in pts], axis=axis),
+        jnp.stack([p.Y for p in pts], axis=axis),
+        jnp.stack([p.Z for p in pts], axis=axis),
+    )
+
+
+def point_sum(p: Point, axis: int) -> Point:
+    """Sum of a point batch along a (small, static) axis."""
+    n = p.X.shape[axis]
+    acc = point_index_axis(p, 0, axis)
+    for k in range(1, n):
+        acc = point_add(acc, point_index_axis(p, k, axis))
+    return acc
+
+
 # ---- host bridges ---------------------------------------------------------
 
 def points_to_host(p: Point):

@@ -1,0 +1,392 @@
+"""GG20 {t,n}-threshold ECDSA with identifiable aborts, session-batched.
+
+Behavioral port of /root/reference/src/protocols/multi_party_ecdsa/gg_2020/
+party_i.rs (936 LoC) in the SoA [S, n, ...] formulation:
+
+  keygen   4 rounds: + ring-Pedersen setup (h1, h2, N_tilde), correct-key
+           proof, composite-dlog proofs both directions, Paillier bit-length
+           policing (party_i.rs:49-50, 287-290)
+  offline  6 rounds: MtA with Alice range proofs, T_i Pedersen commitments
+           (phase 3), R / R_bar + PDLwSlack (phases 4-5), S_i + HomoElGamal
+           consistency (phase 6)
+  online   1 round: s_i broadcast (phase 7)
+
+Per-check boolean masks feed bad-actor accumulation exactly like the
+reference's ErrorType { error_type, bad_actors } (gg_2020/mod.rs:23-27);
+the blame module (blame.py) consumes the same state for identifiable aborts.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+import jax.numpy as jnp
+
+from ...core.limbs import batch_from_limbs
+from ...core.modctx import ModCtx
+from ...ec import secp256k1 as dec
+from ...hashes.fiat_shamir import commit_rows, digest_rows, point_hash_ints
+from ...host import ec as hec, primes
+from ...mta import mta
+from ...paillier import paillier as dp
+from ...utils.rng import SessionRng
+from ...vss import feldman
+from ...zk import sigma
+from ...zk.paillier_zk import (
+    CompositeDLogStatementBatch,
+    composite_dlog_prove,
+    composite_dlog_verify,
+    correct_key_prove,
+    correct_key_verify,
+)
+from ...zk.pdl_slack import (
+    PDLwSlackProofBatch,
+    PDLwSlackStatementBatch,
+    pdl_slack_prove,
+    pdl_slack_verify,
+)
+from ...zk.range_proofs import DlogStatementBatch, PaillierCtxBatch
+from ..gg18.batch import _dk_take, _off_diag_sum, _sc, gen_paillier_batch
+
+Q = hec.N
+SECURITY = 256
+PAILLIER_MIN_BITS = 2047  # party_i.rs:49
+PAILLIER_MAX_BITS = 2048  # party_i.rs:50
+
+
+def generate_h1_h2_n_tilde_batch(S: int, n: int, bits: int, rng: SessionRng):
+    """Ring-Pedersen setup per slot (party_i.rs:137-156), host-side primes +
+    batched device modexp for h2 = h1^xhi mod N_tilde."""
+    pt, qt = gen_paillier_batch(S, n, bits, rng)
+    n_tilde = pt * qt
+    phi = (pt - 1) * (qt - 1)
+    h1 = rng.below(n_tilde, (S, n))
+    xhi0 = np.empty((S, n), dtype=object)
+    xhi_inv0 = np.empty((S, n), dtype=object)
+    for s in range(S):
+        for i in range(n):
+            ph = int(phi[s, i])
+            while True:
+                x = rng._r.randrange(ph)
+                try:
+                    inv = pow(x, -1, ph)
+                    break
+                except ValueError:
+                    continue
+            xhi0[s, i] = x
+            xhi_inv0[s, i] = inv
+    ctx = ModCtx.from_ints(n_tilde, bits)
+    h2 = ctx.pow(h1, xhi0, bits)
+    xhi = phi - xhi0          # party_i.rs:152-153
+    xhi_inv = phi - xhi_inv0
+    return ctx, h1, h2, xhi, xhi_inv, phi
+
+
+@dataclasses.dataclass
+class LocalKeyBatch20:
+    S: int
+    t: int
+    n: int
+    paillier_bits: int
+    p: np.ndarray
+    q: np.ndarray
+    ek: PaillierCtxBatch          # [S, n]
+    dk: dp.BatchDecryptionKey
+    dlog_stmt: DlogStatementBatch  # [S, n] (h1, h2, N_tilde per party)
+    u: np.ndarray
+    x: np.ndarray
+    y: dec.Point
+    y_i: dec.Point
+    vss: feldman.VssSchemeBatch
+
+
+@dataclasses.dataclass
+class KeygenResult20:
+    key: LocalKeyBatch20
+    ok: np.ndarray
+    bad_actors: np.ndarray
+
+
+def keygen(S: int, t: int, n: int, rng: SessionRng, paillier_bits: int = 2048) -> KeygenResult20:
+    u = rng.scalars((S, n))
+    y_i = dec.mul_generator(_sc(u))
+    p_fac, q_fac = gen_paillier_batch(S, n, paillier_bits, rng)
+    ns = p_fac * q_fac
+    ek = PaillierCtxBatch.from_ints(ns, paillier_bits)
+    dk = dp.BatchDecryptionKey.from_ints(p_fac, q_fac, paillier_bits)
+    nt_ctx, h1, h2, xhi, xhi_inv, _phi_t = generate_h1_h2_n_tilde_batch(S, n, paillier_bits, rng)
+    dlog_stmt = DlogStatementBatch(ctx=nt_ctx, h1=h1, h2=h2)
+
+    # round 1 broadcast: com(y_i), correct-key, composite-dlog x2
+    blind = rng.bits(SECURITY, (S, n))
+    y_ints = point_hash_ints(y_i)
+    com = commit_rows(y_ints, blind)
+    phis = (p_fac - 1) * (q_fac - 1)
+    ck_proof = correct_key_prove(ek.n_ctx, phis)
+    stmt_h1 = CompositeDLogStatementBatch(ctx=nt_ctx, g=h1, ni=h2)
+    stmt_h2 = CompositeDLogStatementBatch(ctx=nt_ctx, g=h2, ni=h1)
+    cd_proof_h1 = composite_dlog_prove(stmt_h1, xhi, rng)
+    cd_proof_h2 = composite_dlog_prove(stmt_h2, xhi_inv, rng)
+
+    # round 2: verify everything (party_i.rs:260-320)
+    com_ok = commit_rows(y_ints, blind) == com
+    ck_ok = correct_key_verify(ck_proof, ek.n_ctx)
+    cd_ok = composite_dlog_verify(cd_proof_h1, stmt_h1) & composite_dlog_verify(cd_proof_h2, stmt_h2)
+    min_b, max_b = (
+        (PAILLIER_MIN_BITS, PAILLIER_MAX_BITS)
+        if paillier_bits == 2048
+        else (paillier_bits - 1, paillier_bits)
+    )
+    bitlen_ok = np.vectorize(
+        lambda v: min_b <= int(v).bit_length() <= max_b, otypes=[bool]
+    )(ns) & np.vectorize(
+        lambda v: min_b <= int(v).bit_length() <= max_b, otypes=[bool]
+    )(nt_ctx.n_ints)
+
+    vss, shares = feldman.share(t, n, u, rng)
+
+    # round 3: share validation, x_i, dlog proof
+    vss_ok = np.ones((S, n), dtype=bool)
+    for j in range(n):
+        vss_ok &= feldman.validate_share(vss, shares[:, :, j], j)
+    c0_ok = np.asarray(dec.point_eq(feldman.point_index(vss.commitments, 0), y_i))
+    x = np.mod(np.sum(shares, axis=1), Q)
+    y = dec.point_sum(y_i, axis=1)
+    dlog_proofs = sigma.dlog_prove(_sc(x), rng)
+
+    # round 4: verify dlog proofs + against VSS commitment sums
+    dlog_ok = sigma.dlog_verify(dlog_proofs)
+    # xi_commitments: sum over dealers of commitment_eval at each index
+    xi_ok = np.ones((S, n), dtype=bool)
+    for j in range(n):
+        cj = feldman.commitment_eval(vss, j)          # [S, n_dealer]
+        xi_com = dec.point_sum(cj, axis=1)            # [S]
+        pk_j = dec.Point(
+            dlog_proofs.pk.X[:, j], dlog_proofs.pk.Y[:, j], dlog_proofs.pk.Z[:, j]
+        )
+        xi_ok[:, j] = np.asarray(dec.point_eq(xi_com, pk_j))
+
+    bad = ~(com_ok & ck_ok & cd_ok & bitlen_ok & vss_ok & c0_ok & dlog_ok & xi_ok)
+    key = LocalKeyBatch20(
+        S=S, t=t, n=n, paillier_bits=paillier_bits,
+        p=p_fac, q=q_fac, ek=ek, dk=dk, dlog_stmt=dlog_stmt,
+        u=u, x=x, y=y, y_i=y_i, vss=vss,
+    )
+    return KeygenResult20(key=key, ok=~bad.any(axis=1), bad_actors=bad)
+
+
+@dataclasses.dataclass
+class OfflineState:
+    """CompletedOfflineStage analog (sign.rs:647-655) + blame inputs."""
+
+    s_parties: list[int]
+    R: dec.Point                  # [S]
+    r_x: np.ndarray               # [S]
+    k: np.ndarray                 # [S, tp] (secret)
+    sigma_i: np.ndarray           # [S, tp] (secret)
+    delta_i: np.ndarray
+    y: dec.Point
+    ok: np.ndarray                # [S]
+    bad_actors: np.ndarray        # [S, tp]
+    # blame inputs (revealed only on abort)
+    k_randomness: np.ndarray      # [S, tp]
+    gamma: np.ndarray
+    beta_g: np.ndarray            # [S, alice, bob]
+    beta_randomness: np.ndarray
+    beta_tag: np.ndarray
+    alpha: np.ndarray
+    msg_a_c: np.ndarray           # [S, tp] k ciphertexts
+    msg_b_gamma_c: np.ndarray     # [S, alice, bob]
+    R_bar: dec.Point              # [S, tp]
+    S_i: dec.Point                # [S, tp]
+    T_i: dec.Point
+    l_i: np.ndarray
+    m_b_w_c: np.ndarray = None
+    miu: np.ndarray = None        # [S, alice, bob] raw (pre-mod-q) mu
+    ni: np.ndarray = None         # beta of w path
+
+
+def offline_stage(
+    key: LocalKeyBatch20, s_parties: list[int], rng: SessionRng,
+    corrupt: dict | None = None,
+) -> OfflineState:
+    """Rounds 0-6 of GG20 signing (message-independent offline phase).
+
+    corrupt: optional {"step": 5|6, "parties": [slot indices]} fault
+    injection — doubles delta_i / sigma_i like gg_2020/test.rs:459-465.
+    """
+    S = key.S
+    tp = len(s_parties)
+    eye = np.eye(tp, dtype=bool)[None]
+
+    lam = np.asarray([feldman.lagrange_coeff(i, s_parties) for i in s_parties], dtype=object)
+    x_s = key.x[:, s_parties]
+    w = np.mod(x_s * lam[None, :], Q)
+    g_w = dec.mul_generator(_sc(w))
+    k = rng.scalars((S, tp))
+    gamma = rng.scalars((S, tp))
+    g_gamma = dec.mul_generator(_sc(gamma))
+
+    blind1 = rng.bits(SECURITY, (S, tp))
+    com1 = commit_rows(point_hash_ints(g_gamma), blind1)
+
+    ek_s = key.ek.take(s_parties, 1)
+    stmt_s = key.dlog_stmt.take(s_parties, 1)         # [S, tp]
+    # MessageA: alice i encrypts k_i, proving range to each peer j's stmt
+    r_a = rng.below(np.broadcast_to(ek_s.n, (S, tp)), (S, tp))
+    stmt_pairs = stmt_s.expand(1)                     # [S, 1, tp] (peer axis last)
+    ek_alice_pairs = ek_s.expand(2)                   # [S, tp, 1]
+    from ...zk.range_proofs import alice_prove
+
+    c_a = mta.paillier_encrypt_ints(ek_s, k, r_a)     # [S, tp] — one enc per alice
+    alice_proofs = alice_prove(
+        k[:, :, None], c_a[:, :, None], ek_alice_pairs, stmt_pairs, r_a[:, :, None], rng
+    )  # [S, alice, peer]
+
+    # MessageB (bob j responds to alice i): verify alice proof against own stmt
+    c_a_pairs = np.broadcast_to(c_a[:, :, None], (S, tp, tp))
+    gamma_b = np.broadcast_to(gamma[:, None, :], (S, tp, tp))
+    w_b = np.broadcast_to(w[:, None, :], (S, tp, tp))
+    own_stmt_pairs = stmt_s.expand(1)                 # bob axis is 2 -> stmt at [S,1,tp]
+    msg_b_gamma, beta_g, beta_rand, beta_tag, alice_ok = mta.message_b(
+        gamma_b, ek_alice_pairs, c_a_pairs, alice_proofs, own_stmt_pairs, rng
+    )
+    msg_b_w, beta_w, _, _, _ = mta.message_b(
+        w_b, ek_alice_pairs, c_a_pairs, None, None, rng
+    )
+    alice_ok = np.where(eye, True, alice_ok)
+
+    dk_s = mta.expand_tree_axis(_dk_take(key.dk, s_parties, 1), 2)
+    a_pairs = np.broadcast_to(k[:, :, None], (S, tp, tp))
+    alpha, alpha_raw, ok_a = mta.verify_proofs_get_alpha(dk_s, msg_b_gamma, a_pairs, (S, tp, tp))
+    miu, miu_raw, ok_m = mta.verify_proofs_get_alpha(dk_s, msg_b_w, a_pairs, (S, tp, tp))
+    # MtAwc check: bob's w commitment must match g_w_j (mta/mod.rs:204-209)
+    gw_pairs = dec.point_expand(g_w, 1)
+    gwc = np.asarray(dec.point_eq(msg_b_w.b_proof.pk, gw_pairs))
+    mta_ok = np.where(eye, True, ok_a & ok_m & gwc)
+
+    kg = np.mod(k * gamma, Q)
+    kw = np.mod(k * w, Q)
+    delta_i = np.mod(kg + _off_diag_sum(alpha, 2) + _off_diag_sum(beta_g, 1), Q)
+    sigma_i = np.mod(kw + _off_diag_sum(miu, 2) + _off_diag_sum(beta_w, 1), Q)
+
+    if corrupt and corrupt.get("step") == 5:
+        for pi in corrupt["parties"]:
+            delta_i[:, pi] = np.mod(delta_i[:, pi] * 2, Q)
+    if corrupt and corrupt.get("step") == 6:
+        for pi in corrupt["parties"]:
+            sigma_i[:, pi] = np.mod(sigma_i[:, pi] * 2, Q)
+
+    # phase 3: T_i = sigma_i G + l_i H2 + Pedersen proof (party_i.rs:620-634)
+    l_i = rng.scalars((S, tp))
+    ped = sigma.pedersen_prove(_sc(sigma_i), _sc(l_i), rng)
+    T_i = ped.T
+    ped_ok = sigma.pedersen_verify(ped)
+
+    # phase 3-4: delta reconstruction, decommit gamma, R
+    delta = np.mod(np.sum(delta_i, axis=1), Q)
+    delta_inv = np.asarray([pow(int(d), -1, Q) if int(d) else 0 for d in delta], dtype=object)
+    com_ok = (commit_rows(point_hash_ints(g_gamma), blind1) == com1)
+    gg_pairs = dec.point_expand(g_gamma, 1)
+    pk_ok = np.where(eye, True, np.asarray(dec.point_eq(msg_b_gamma.b_proof.pk, gg_pairs)))
+    gamma_sum = dec.point_sum(g_gamma, axis=1)
+    R = dec.scalar_mul(_sc(delta_inv), gamma_sum)
+    r_x = batch_from_limbs(np.asarray(dec.x_coord_mod_q(R)))
+
+    # phase 5: R_bar = k_i R + PDLwSlack to each peer (party_i.rs:691-766)
+    R_pairs = dec.point_expand(R, 1)
+    R_bar = dec.scalar_mul(_sc(k), R_pairs)           # [S, tp]
+    pdl_stmt = PDLwSlackStatementBatch(
+        ciphertext=np.broadcast_to(c_a[:, :, None], (S, tp, tp)),
+        ek=ek_alice_pairs,
+        Q_pt=dec.point_expand(R_bar, 2),
+        G_pt=dec.point_expand(R_pairs, 2),
+        dlog=stmt_pairs,                              # peer j's statement
+    )
+    pdl_proofs = pdl_slack_prove(
+        np.broadcast_to(k[:, :, None], (S, tp, tp)),
+        np.broadcast_to(r_a[:, :, None], (S, tp, tp)),
+        pdl_stmt,
+        rng,
+    )
+    pdl_ok = np.where(eye, True, pdl_slack_verify(pdl_proofs, pdl_stmt))
+
+    # phase5_check_R_dash_sum: sum R_bar == G (party_i.rs:768-776)
+    rb_sum = dec.point_sum(R_bar, axis=1)
+    rdash_ok = np.asarray(dec.point_eq(rb_sum, dec.generator((S,))))
+
+    # phase 6: S_i = sigma_i R + HomoElGamal consistency (party_i.rs:778-848)
+    S_i = dec.scalar_mul(_sc(sigma_i), R_pairs)
+    heg = sigma.homo_elgamal_prove(
+        _sc(l_i), _sc(sigma_i),
+        R_pairs, dec.base_point2((S, tp)), dec.generator((S, tp)), T_i, S_i, rng,
+    )
+    heg_ok = sigma.homo_elgamal_verify(
+        heg, R_pairs, dec.base_point2((S, tp)), dec.generator((S, tp)), T_i, S_i
+    )
+    s_sum = dec.point_sum(S_i, axis=1)
+    s_sum_ok = np.asarray(dec.point_eq(s_sum, key.y))
+
+    # fold pair matrices onto the culpable axis: prover/alice failures blame
+    # the alice axis (reduce peers, axis=2); responder/bob failures blame the
+    # bob axis (reduce alices, axis=1) — mirroring the reference's `ind`
+    # bookkeeping (party_i.rs:650-666, 729-754)
+    per_party_ok = (
+        alice_ok.all(axis=2) & pdl_ok.all(axis=2)
+        & mta_ok.all(axis=1) & pk_ok.all(axis=1)
+        & ped_ok & com_ok & heg_ok
+    )  # [S, tp]
+    ok = per_party_ok.all(axis=1) & rdash_ok & s_sum_ok
+
+    return OfflineState(
+        s_parties=s_parties, R=R, r_x=r_x, k=k, sigma_i=sigma_i, delta_i=delta_i,
+        y=key.y, ok=np.asarray(ok), bad_actors=~per_party_ok,
+        k_randomness=r_a, gamma=gamma, beta_g=beta_g, beta_randomness=beta_rand,
+        beta_tag=beta_tag, alpha=alpha_raw, msg_a_c=c_a,
+        msg_b_gamma_c=np.asarray(msg_b_gamma.c, dtype=object),
+        R_bar=R_bar, S_i=S_i, T_i=T_i, l_i=l_i,
+        m_b_w_c=np.asarray(msg_b_w.c, dtype=object), miu=miu_raw, ni=beta_w,
+    )
+
+
+@dataclasses.dataclass
+class SignResult20:
+    r: np.ndarray
+    s: np.ndarray
+    recid: np.ndarray
+    ok: np.ndarray
+    sig_valid: np.ndarray
+    s_i: np.ndarray = None  # [S, tp] partial sigs (for phase-7 blame)
+
+
+def sign_online(off: OfflineState, m_int, corrupt: dict | None = None) -> SignResult20:
+    """Phase 7: one-round online signing (party_i.rs:850-910)."""
+    S = off.k.shape[0]
+    m_arr = np.broadcast_to(np.asarray(m_int, dtype=object), (S,))
+    s_i = np.mod(np.mod(m_arr, Q)[:, None] * off.k + off.r_x[:, None] * off.sigma_i, Q)
+    if corrupt and corrupt.get("step") == 7:
+        for pi in corrupt["parties"]:
+            s_i[:, pi] = np.mod(s_i[:, pi] * 2, Q)
+    s_sum = np.mod(np.sum(s_i, axis=1), Q)
+    _, ry_l, _ = dec.to_affine(off.R)
+    ry = batch_from_limbs(np.asarray(ry_l))
+    recid = np.empty(S, dtype=object)
+    s_final = np.empty(S, dtype=object)
+    for b in range(S):
+        sv = int(s_sum[b])
+        rec = (int(ry[b]) % Q) & 1
+        if sv > Q - sv:
+            sv = Q - sv
+            rec ^= 1
+        s_final[b] = sv
+        recid[b] = rec
+    y_host = dec.points_to_host(off.y)
+    sig_valid = np.asarray(
+        [
+            hec.ecdsa_verify(y_host[b], int(m_arr[b]) % Q, int(off.r_x[b]), int(s_final[b]))
+            for b in range(S)
+        ]
+    )
+    ok = off.ok & sig_valid
+    return SignResult20(r=off.r_x, s=s_final, recid=recid, ok=ok, sig_valid=sig_valid, s_i=s_i)

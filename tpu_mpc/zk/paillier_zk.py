@@ -80,7 +80,8 @@ def correct_key_prove(n_ctx: ModCtx, phis) -> CorrectKeyProofBatch:
         for i in range(CORRECT_KEY_K):
             fr[b, i] = ch[i]
             fm[b, i] = minv
-    sigma = n_ctx.pow(rho, m_exp, ebits_hint=n_ctx.bits)
+    # challenge axis K broadcasts against the ctx batch via a trailing axis
+    sigma = n_ctx.expand(n_ctx.n_ints.ndim).pow(rho, m_exp, ebits_hint=n_ctx.bits)
     return CorrectKeyProofBatch(sigma=sigma)
 
 
@@ -102,7 +103,7 @@ def correct_key_verify(proof: CorrectKeyProofBatch, n_ctx: ModCtx) -> np.ndarray
     exps = np.broadcast_to(
         n_ctx.n_ints[..., None], shape + (CORRECT_KEY_K,)
     )
-    back = n_ctx.pow(proof.sigma, exps, ebits_hint=n_ctx.bits)
+    back = n_ctx.expand(n_ctx.n_ints.ndim).pow(proof.sigma, exps, ebits_hint=n_ctx.bits)
     ok = np.all(back == rho, axis=-1)
     return ok & small_ok.reshape(shape)
 

@@ -67,17 +67,17 @@ def pdl_slack_prove(x_ints, r_ints, stmt: PDLwSlackStatementBatch, rng) -> PDLwS
     rho = rng.below(Q * n_t, shape)
     gamma = rng.below(Q3 * n_t, shape)
 
-    z = _mulmod(stmt.dlog.ctx.pow(stmt.dlog.h1, x, 256), stmt.dlog.ctx.pow(stmt.dlog.h2, rho, 2320), n_t)
+    z = _mulmod(stmt.dlog.ctx.pow(stmt.dlog.h1, x), stmt.dlog.ctx.pow(stmt.dlog.h2, rho), n_t)
     u1_pt = dec.scalar_mul(dec.sc_from_ints(np.mod(alpha, Q)), stmt.G_pt)
     u1x_l, u1y_l, _ = dec.to_affine(u1_pt)
     u1_x = batch_from_limbs(np.asarray(u1x_l))
     u1_y = batch_from_limbs(np.asarray(u1y_l))
     u2 = _mulmod(
-        stmt.ek.nn_ctx.pow(n + 1, alpha, 776),
-        stmt.ek.nn_ctx.pow(beta, n, 2048),
+        stmt.ek.nn_ctx.pow(n + 1, alpha),
+        stmt.ek.nn_ctx.pow(beta, n),
         nn,
     )
-    u3 = _mulmod(stmt.dlog.ctx.pow(stmt.dlog.h1, alpha, 776), stmt.dlog.ctx.pow(stmt.dlog.h2, gamma, 2832), n_t)
+    u3 = _mulmod(stmt.dlog.ctx.pow(stmt.dlog.h1, alpha), stmt.dlog.ctx.pow(stmt.dlog.h2, gamma), n_t)
 
     e = digest_rows(
         point_hash_ints(stmt.G_pt),
@@ -89,7 +89,7 @@ def pdl_slack_prove(x_ints, r_ints, stmt: PDLwSlackStatementBatch, rng) -> PDLwS
         u3,
     )
     s1 = e * x + alpha
-    s2 = _mulmod(stmt.ek.n_ctx.pow(r_ints, e, 256), beta, n)
+    s2 = _mulmod(stmt.ek.n_ctx.pow(r_ints, e), beta, n)
     s3 = e * rho + gamma
     return PDLwSlackProofBatch(z=z, u1_x=u1_x, u1_y=u1_y, u2=u2, u3=u3, s1=s1, s2=s2, s3=s3)
 
@@ -121,15 +121,15 @@ def pdl_slack_verify(proof: PDLwSlackProofBatch, stmt: PDLwSlackStatementBatch) 
     u1_ok = np.asarray(dec.point_eq(u1_test, pts_from_xy(proof.u1_x, proof.u1_y)))
 
     u2_test = _mulmod(
-        stmt.ek.nn_ctx.pow(n + 1, proof.s1, 776),
-        stmt.ek.nn_ctx.pow(proof.s2, n, 2048),
-        _invmod(stmt.ek.nn_ctx.pow(stmt.ciphertext, e, 256), nn),
+        stmt.ek.nn_ctx.pow(n + 1, proof.s1),
+        stmt.ek.nn_ctx.pow(proof.s2, n),
+        _invmod(stmt.ek.nn_ctx.pow(stmt.ciphertext, e), nn),
         nn,
     )
     u3_test = _mulmod(
-        stmt.dlog.ctx.pow(stmt.dlog.h1, proof.s1, 776),
-        stmt.dlog.ctx.pow(stmt.dlog.h2, proof.s3, 2832),
-        _invmod(stmt.dlog.ctx.pow(proof.z, e, 256), n_t),
+        stmt.dlog.ctx.pow(stmt.dlog.h1, proof.s1),
+        stmt.dlog.ctx.pow(stmt.dlog.h2, proof.s3),
+        _invmod(stmt.dlog.ctx.pow(proof.z, e), n_t),
         n_t,
     )
     u2_ok = u2_test == np.broadcast_to(np.asarray(proof.u2, dtype=object), shape)

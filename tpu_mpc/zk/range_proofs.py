@@ -53,6 +53,28 @@ class DlogStatementBatch:
             h2=np.asarray(h2s, dtype=object),
         )
 
+    def take(self, indices, axis: int) -> "DlogStatementBatch":
+        return DlogStatementBatch(
+            ctx=self.ctx.take(indices, axis),
+            h1=np.take(self.h1, indices, axis=axis),
+            h2=np.take(self.h2, indices, axis=axis),
+        )
+
+    def expand(self, axis: int) -> "DlogStatementBatch":
+        return DlogStatementBatch(
+            ctx=self.ctx.expand(axis),
+            h1=np.expand_dims(self.h1, axis),
+            h2=np.expand_dims(self.h2, axis),
+        )
+
+    def swapped(self) -> "DlogStatementBatch":
+        """(N, g=h2, ni=h1) — the base_h2 statement of gg20 keygen."""
+        return DlogStatementBatch(ctx=self.ctx, h1=self.h2, h2=self.h1)
+
+    def tile(self, S: int) -> "DlogStatementBatch":
+        tile_np = lambda a: np.broadcast_to(a, (S,) + a.shape[1:]).copy()
+        return DlogStatementBatch(ctx=self.ctx.tile(S), h1=tile_np(self.h1), h2=tile_np(self.h2))
+
 
 @dataclasses.dataclass
 class PaillierCtxBatch:
@@ -76,6 +98,17 @@ class PaillierCtxBatch:
     @property
     def nn(self):
         return self.nn_ctx.n_ints
+
+    def take(self, indices, axis: int) -> "PaillierCtxBatch":
+        return PaillierCtxBatch(
+            n_ctx=self.n_ctx.take(indices, axis), nn_ctx=self.nn_ctx.take(indices, axis)
+        )
+
+    def expand(self, axis: int) -> "PaillierCtxBatch":
+        return PaillierCtxBatch(n_ctx=self.n_ctx.expand(axis), nn_ctx=self.nn_ctx.expand(axis))
+
+    def tile(self, S: int) -> "PaillierCtxBatch":
+        return PaillierCtxBatch(n_ctx=self.n_ctx.tile(S), nn_ctx=self.nn_ctx.tile(S))
 
 
 def _mulmod(*arrays_then_mod) -> np.ndarray:
@@ -144,15 +177,15 @@ def alice_prove(a_ints, cipher, ek: PaillierCtxBatch, stmt: DlogStatementBatch, 
     gamma = rng.below(Q3 * n_t, shape)
     rho = rng.below(Q * n_t, shape)
 
-    z = _mulmod(stmt.ctx.pow(stmt.h1, a, 256), stmt.ctx.pow(stmt.h2, rho, 2320), n_t)
-    beta_n = ek.nn_ctx.pow(beta, np.broadcast_to(ek.n, shape), 2048)
+    z = _mulmod(stmt.ctx.pow(stmt.h1, a), stmt.ctx.pow(stmt.h2, rho), n_t)
+    beta_n = ek.nn_ctx.pow(beta, np.broadcast_to(ek.n, shape))
     u = _mulmod(alpha * np.broadcast_to(ek.n, shape) + 1, beta_n, np.broadcast_to(ek.nn, shape))
-    w = _mulmod(stmt.ctx.pow(stmt.h1, alpha, 776), stmt.ctx.pow(stmt.h2, gamma, 2832), n_t)
+    w = _mulmod(stmt.ctx.pow(stmt.h1, alpha), stmt.ctx.pow(stmt.h2, gamma), n_t)
 
     gen = np.broadcast_to(ek.n, shape) + 1
     e = digest_rows(np.broadcast_to(ek.n, shape), gen, cipher, z, u, w)
 
-    s = _mulmod(ek.n_ctx.pow(r_ints, e, 256), beta, np.broadcast_to(ek.n, shape))
+    s = _mulmod(ek.n_ctx.pow(r_ints, e), beta, np.broadcast_to(ek.n, shape))
     s1 = e * a + alpha
     s2 = e * rho + gamma
     return AliceProofBatch(z=z, e=e, s=s, s1=s1, s2=s2)
@@ -170,15 +203,15 @@ def alice_verify(proof: AliceProofBatch, cipher, ek: PaillierCtxBatch, stmt: Dlo
         np.broadcast_to(np.asarray(proof.s1, dtype=object), shape)
     )
 
-    z_e = stmt.ctx.pow(proof.z, proof.e, 256)
+    z_e = stmt.ctx.pow(proof.z, proof.e)
     w = _mulmod(
-        stmt.ctx.pow(stmt.h1, proof.s1, 776),
-        stmt.ctx.pow(stmt.h2, proof.s2, 2832),
+        stmt.ctx.pow(stmt.h1, proof.s1),
+        stmt.ctx.pow(stmt.h2, proof.s2),
         _invmod(z_e, n_t),
         n_t,
     )
-    s_n = ek.nn_ctx.pow(proof.s, n, 2048)
-    c_e = ek.nn_ctx.pow(cipher, proof.e, 256)
+    s_n = ek.nn_ctx.pow(proof.s, n)
+    c_e = ek.nn_ctx.pow(cipher, proof.e)
     u = _mulmod(
         np.broadcast_to(np.asarray(proof.s1, dtype=object), shape) * n + 1,
         s_n,
@@ -230,14 +263,14 @@ def bob_prove(
     sigma = rng.below(Q * n_t, shape)
     tau = rng.below(Q3 * n_t, shape)
 
-    z = _mulmod(stmt.ctx.pow(stmt.h1, b_arr, 256), stmt.ctx.pow(stmt.h2, rho, 2320), n_t)
-    z_prim = _mulmod(stmt.ctx.pow(stmt.h1, alpha, 776), stmt.ctx.pow(stmt.h2, rho_prim, 2832), n_t)
-    t = _mulmod(stmt.ctx.pow(stmt.h1, beta_prim, 2048), stmt.ctx.pow(stmt.h2, sigma, 2320), n_t)
-    w = _mulmod(stmt.ctx.pow(stmt.h1, gamma, 2576), stmt.ctx.pow(stmt.h2, tau, 2832), n_t)
+    z = _mulmod(stmt.ctx.pow(stmt.h1, b_arr), stmt.ctx.pow(stmt.h2, rho), n_t)
+    z_prim = _mulmod(stmt.ctx.pow(stmt.h1, alpha), stmt.ctx.pow(stmt.h2, rho_prim), n_t)
+    t = _mulmod(stmt.ctx.pow(stmt.h1, beta_prim), stmt.ctx.pow(stmt.h2, sigma), n_t)
+    w = _mulmod(stmt.ctx.pow(stmt.h1, gamma), stmt.ctx.pow(stmt.h2, tau), n_t)
     v = _mulmod(
-        ek.nn_ctx.pow(a_enc, alpha, 776),
+        ek.nn_ctx.pow(a_enc, alpha),
         gamma * n + 1,
-        ek.nn_ctx.pow(beta, n, 2048),
+        ek.nn_ctx.pow(beta, n),
         nn,
     )
 
@@ -258,7 +291,7 @@ def bob_prove(
                       u_x, u_y]
     e = digest_rows(*hash_cols)
 
-    s = _mulmod(ek.n_ctx.pow(r_ints, e, 256), beta, n)
+    s = _mulmod(ek.n_ctx.pow(r_ints, e), beta, n)
     s1 = e * b_arr + alpha
     s2 = e * rho + rho_prim
     t1 = e * np.broadcast_to(np.asarray(beta_prim, dtype=object), shape) + gamma
@@ -283,25 +316,25 @@ def bob_verify(
         np.broadcast_to(np.asarray(proof.s1, dtype=object), shape)
     )
 
-    z_e = stmt.ctx.pow(proof.z, proof.e, 256)
+    z_e = stmt.ctx.pow(proof.z, proof.e)
     z_prim = _mulmod(
-        stmt.ctx.pow(stmt.h1, proof.s1, 776),
-        stmt.ctx.pow(stmt.h2, proof.s2, 2832),
+        stmt.ctx.pow(stmt.h1, proof.s1),
+        stmt.ctx.pow(stmt.h2, proof.s2),
         _invmod(z_e, n_t),
         n_t,
     )
-    mta_e = ek.nn_ctx.pow(mta_enc, proof.e, 256)
+    mta_e = ek.nn_ctx.pow(mta_enc, proof.e)
     v = _mulmod(
-        ek.nn_ctx.pow(a_enc, proof.s1, 776),
-        ek.nn_ctx.pow(proof.s, n, 2048),
+        ek.nn_ctx.pow(a_enc, proof.s1),
+        ek.nn_ctx.pow(proof.s, n),
         np.broadcast_to(np.asarray(proof.t1, dtype=object), shape) * n + 1,
         _invmod(mta_e, nn),
         nn,
     )
-    t_e = stmt.ctx.pow(proof.t, proof.e, 256)
+    t_e = stmt.ctx.pow(proof.t, proof.e)
     w = _mulmod(
-        stmt.ctx.pow(stmt.h1, proof.t1, 2576),
-        stmt.ctx.pow(stmt.h2, proof.t2, 2832),
+        stmt.ctx.pow(stmt.h1, proof.t1),
+        stmt.ctx.pow(stmt.h2, proof.t2),
         _invmod(t_e, n_t),
         n_t,
     )

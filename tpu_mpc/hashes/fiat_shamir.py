@@ -27,6 +27,8 @@ Q = hec.N
 def point_hash_ints(P: ec.Point) -> np.ndarray:
     """Device point batch -> object array of ints (compressed-bytes-as-int)."""
     pts = ec.points_to_host(P)
+    if pts is None or isinstance(pts, tuple):  # scalar (unbatched) point
+        return int.from_bytes(hec.compress(pts), "big")
     flat = np.reshape(np.asarray(pts, dtype=object), -1)
     out = np.empty(flat.shape, dtype=object)
     for i, p in enumerate(flat):

@@ -240,12 +240,15 @@ def sign(key: LocalKeyBatch, s_parties: list[int], m_int, rng: SessionRng) -> Si
 
     v_sum = dec.point_sum(V_i, axis=1)               # [S]
     a_sum = dec.point_sum(A_i, axis=1)
-    # v = V_sum - m G - r y
+    # v = V_sum - m G - r y   (v includes own V_i, party_i.rs:594-597)
     m_g = dec.mul_generator(_sc(np.mod(m_arr, Q)))
     r_y = dec.scalar_mul(_sc(r_x), key.y)
     v = dec.point_add(v_sum, dec.point_neg(dec.point_add(m_g, r_y)))
     u_i = dec.scalar_mul(_sc(rho_i), dec.point_expand(v, 1))
-    t_i = dec.scalar_mul(_sc(l_i), dec.point_expand(a_sum, 1))
+    # a EXCLUDES the party's own A_i (party_i.rs:595,599 iterates only the
+    # received decommits): t_i = l_i * (sum_j A_j - A_i)
+    a_minus_own = dec.point_add(dec.point_expand(a_sum, 1), dec.point_neg(A_i))
+    t_i = dec.scalar_mul(_sc(l_i), a_minus_own)
     blind5c = rng.bits(SECURITY, (S, tp))
     input_hash5c = digest_rows(point_hash_ints(u_i), point_hash_ints(t_i))
     com5c = commit_rows(input_hash5c, blind5c)

@@ -205,6 +205,7 @@ class OfflineState:
     m_b_w_c: np.ndarray = None
     miu: np.ndarray = None        # [S, alice, bob] raw (pre-mod-q) mu
     ni: np.ndarray = None         # beta of w path
+    debug_masks: dict = None      # per-check masks (diagnostics)
 
 
 def offline_stage(
@@ -338,6 +339,11 @@ def offline_stage(
         & ped_ok & com_ok & heg_ok
     )  # [S, tp]
     ok = per_party_ok.all(axis=1) & rdash_ok & s_sum_ok
+    debug_masks = {
+        "alice": alice_ok, "pdl": pdl_ok, "mta": mta_ok, "pk": pk_ok,
+        "ped": ped_ok, "com": com_ok, "heg": heg_ok,
+        "rdash": rdash_ok, "s_sum": s_sum_ok,
+    }
 
     return OfflineState(
         s_parties=s_parties, R=R, r_x=r_x, k=k, sigma_i=sigma_i, delta_i=delta_i,
@@ -347,6 +353,7 @@ def offline_stage(
         msg_b_gamma_c=np.asarray(msg_b_gamma.c, dtype=object),
         R_bar=R_bar, S_i=S_i, T_i=T_i, l_i=l_i,
         m_b_w_c=np.asarray(msg_b_w.c, dtype=object), miu=miu_raw, ni=beta_w,
+        debug_masks=debug_masks,
     )
 
 

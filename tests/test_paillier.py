@@ -76,6 +76,33 @@ def test_homomorphic_ops():
     assert got == [a + b for a, b in zip(m1, m2)]
 
 
+def test_decrypt_crt_mp_exceeds_q():
+    """Regression: CRT recombination must reduce mp mod q before (mq - mp).
+
+    When p > q the per-prime residue mp in [0, p) can exceed mq + q; a
+    single conditional add of q then wraps wrong.  Force p > q and sweep
+    messages until the mp > q case is hit.
+    """
+    r = random.Random(21)
+    from tpu_mpc.host import primes
+
+    while True:
+        p = primes.gen_prime(BITS // 2, r)
+        q = primes.gen_prime(BITS // 2, r)
+        if p > q:
+            break
+    ek, dk = hp.EncryptionKey(p * q), hp.DecryptionKey(p, q)
+    S = 32
+    ms = [r.randrange(ek.n) for _ in range(S)]
+    rs = [hp.sample_randomness(ek, r) for _ in range(S)]
+    bek = dp.BatchEncryptionKey.from_ints([ek.n] * S, bits=BITS)
+    bdk = dp.BatchDecryptionKey.from_ints([p] * S, [q] * S, bits=BITS)
+    L = nlimbs(BITS)
+    c = dp.encrypt(bek, jnp.asarray(batch_to_limbs(ms, L)), jnp.asarray(batch_to_limbs(rs, L)))
+    got = [int(v) for v in batch_from_limbs(np.asarray(dp.decrypt(bdk, c)))]
+    assert got == ms
+
+
 def test_host_open_recovers_randomness():
     eks, dks, _, _ = make_keys(1)
     r = random.Random(13)

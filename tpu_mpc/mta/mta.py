@@ -146,12 +146,16 @@ def message_b(
     if alice_proofs is not None and own_stmt is not None:
         alice_ok = alice_verify(alice_proofs, msg_a_c, ek, own_stmt)
 
-    beta_tag = rng.below(n, shape)
-    randomness = rng.below(n, shape)
+    # force object dtype: for scalar shapes rng returns bare python ints and
+    # np.mod on a raw bigint overflows C long
+    beta_tag = np.asarray(rng.below(n, shape), dtype=object)
+    randomness = np.asarray(rng.below(n, shape), dtype=object)
     c_beta_tag = paillier_encrypt_ints(ek, beta_tag, randomness)
     b_ca = ek.nn_ctx.pow(msg_a_c, b_arr, 256)
     c_b = _mulmod(b_ca, c_beta_tag, np.broadcast_to(ek.nn, shape))
-    beta = np.mod(-np.mod(beta_tag, Q), Q)
+    # vectorize keeps object dtype even for 0-d shapes (np.mod on a 0-d
+    # object array collapses to a raw bigint and overflows C long)
+    beta = np.vectorize(lambda v: (-int(v)) % Q, otypes=[object])(beta_tag)
 
     b_proof = sigma.dlog_prove(dec.sc_from_ints(np.mod(np.broadcast_to(b_arr, shape), Q)), rng)
     beta_tag_proof = sigma.dlog_prove(dec.sc_from_ints(np.mod(beta_tag, Q)), rng)

@@ -173,7 +173,11 @@ def decrypt(dk: BatchDecryptionKey, c):
     lq = _exact_div(bi.sub(uq, one)[0], dk.q_inv_2k, Lh)
     mp = mod_mul(_mod_by_small(lp, dk.p_ctx), dk.hp, dk.p_ctx)
     mq = mod_mul(_mod_by_small(lq, dk.q_ctx), dk.hq, dk.q_ctx)
-    d = bi.mod_sub(mq, mp, dk.q_ctx.n)
+    # mp < p may exceed q when p > q; one conditional subtract reduces it
+    # mod q (mp < p < 2q since both primes have the top bit set) before the
+    # CRT difference — otherwise (mq - mp) mod q wraps wrong when mp > mq+q.
+    mp_red = _mod_by_small(mp, dk.q_ctx)
+    d = bi.mod_sub(mq, mp_red, dk.q_ctx.n)
     t = mod_mul(d, dk.pinv_mod_q, dk.q_ctx)
     # m = mp + p t <= (p-1) + p(q-1) = pq - 1: a plain add, no reduction
     pt = bi.mul(dk.p, t)                                    # [..., 2 Lh]

@@ -20,7 +20,7 @@ from ..core.limbs import batch_from_limbs
 from ..ec import secp256k1 as dec
 from ..hashes.fiat_shamir import digest_rows, point_hash_ints
 from ..host import ec as hec
-from .range_proofs import DlogStatementBatch, PaillierCtxBatch, _invmod, _mulmod
+from .range_proofs import DlogStatementBatch, PaillierCtxBatch, _invmod, _mulmod, obj_mod
 
 Q = hec.N
 Q3 = Q**3
@@ -68,10 +68,11 @@ def pdl_slack_prove(x_ints, r_ints, stmt: PDLwSlackStatementBatch, rng) -> PDLwS
     gamma = rng.below(Q3 * n_t, shape)
 
     z = _mulmod(stmt.dlog.ctx.pow(stmt.dlog.h1, x), stmt.dlog.ctx.pow(stmt.dlog.h2, rho), n_t)
-    u1_pt = dec.scalar_mul(dec.sc_from_ints(np.mod(alpha, Q)), stmt.G_pt)
+    u1_pt = dec.scalar_mul(dec.sc_from_ints(obj_mod(alpha, Q)), stmt.G_pt)
     u1x_l, u1y_l, _ = dec.to_affine(u1_pt)
-    u1_x = batch_from_limbs(np.asarray(u1x_l))
-    u1_y = batch_from_limbs(np.asarray(u1y_l))
+    # keep object ndarrays even at 0-d (single-session runtime path)
+    u1_x = np.asarray(batch_from_limbs(np.asarray(u1x_l)), dtype=object)
+    u1_y = np.asarray(batch_from_limbs(np.asarray(u1y_l)), dtype=object)
     u2 = _mulmod(
         stmt.ek.nn_ctx.pow(n + 1, alpha),
         stmt.ek.nn_ctx.pow(beta, n),
@@ -112,8 +113,10 @@ def pdl_slack_verify(proof: PDLwSlackProofBatch, stmt: PDLwSlackStatementBatch) 
         proof.u3,
     )
     # u1 check: s1 G + (q - e) Q == u1   (mod.rs:138-142)
-    s1_mod = np.mod(np.asarray(proof.s1, dtype=object), Q)
-    e_neg = np.mod(Q - np.mod(e, Q), Q)
+    s1_mod = obj_mod(proof.s1, Q)
+    e_neg = np.vectorize(lambda v: (Q - int(v) % Q) % Q, otypes=[object])(
+        np.asarray(e, dtype=object)
+    )
     u1_test = dec.point_add(
         dec.scalar_mul(dec.sc_from_ints(np.broadcast_to(s1_mod, shape)), stmt.G_pt),
         dec.scalar_mul(dec.sc_from_ints(np.broadcast_to(e_neg, shape)), stmt.Q_pt),

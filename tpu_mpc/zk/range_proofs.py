@@ -356,3 +356,11 @@ def bob_verify(
         wc_ok = np.asarray(dec.point_eq(s1_pts, rhs))
     e_check = digest_rows(*hash_cols)
     return range_ok & wc_ok & (e_check == np.broadcast_to(np.asarray(proof.e, dtype=object), shape))
+
+
+def obj_mod(x, m) -> np.ndarray:
+    """x mod m keeping object dtype at any shape, incl. 0-d (np.mod on a 0-d
+    object array decays to a raw python bigint and overflows C long)."""
+    return np.vectorize(lambda v: int(v) % m, otypes=[object])(
+        np.asarray(x, dtype=object)
+    )

@@ -291,3 +291,50 @@ def _dk_take(dk: dp.BatchDecryptionKey, indices, axis: int) -> dp.BatchDecryptio
 
     idx = jnp.asarray(indices)
     return jax.tree_util.tree_map(lambda a: jnp.take(a, idx, axis=axis), dk)
+
+
+def refresh_private_key(key: LocalKeyBatch, factor_ints, rng: SessionRng) -> LocalKeyBatch:
+    """Key rotation: u_i += factor, fresh Paillier keypair per slot
+    (gg_2018/party_i.rs:326-358 refresh_private_key).
+
+    factor_ints: [S, n] additive factors (a proactive refresh ceremony
+    supplies zero-sum factors so y is invariant; this function applies
+    whatever it is given, like the reference).
+    """
+    S, n, bits = key.S, key.n, key.paillier_bits
+    factor = np.mod(np.asarray(factor_ints, dtype=object), Q)
+    u_new = np.mod(key.u + factor, Q)
+    y_i_new = dec.mul_generator(_sc(u_new))
+    p_fac, q_fac = gen_paillier_batch(S, n, bits, rng)
+    ns = p_fac * q_fac
+    return dataclasses.replace(
+        key,
+        u=u_new,
+        y_i=y_i_new,
+        y=dec.point_sum(y_i_new, axis=1),
+        p=p_fac,
+        q=q_fac,
+        ek=PaillierCtxBatch.from_ints(ns, bits),
+        dk=dp.BatchDecryptionKey.from_ints(p_fac, q_fac, bits),
+    )
+
+
+def update_private_key(key: LocalKeyBatch, factor_u, factor_x) -> LocalKeyBatch:
+    """PartyPrivate::update_private_key (gg_2018/party_i.rs:371-381):
+    additive update of u_i and x_i (Paillier keys untouched)."""
+    u_new = np.mod(key.u + np.asarray(factor_u, dtype=object), Q)
+    x_new = np.mod(key.x + np.asarray(factor_x, dtype=object), Q)
+    y_i_new = dec.mul_generator(_sc(u_new))
+    return dataclasses.replace(
+        key, u=u_new, x=x_new, y_i=y_i_new, y=dec.point_sum(y_i_new, axis=1)
+    )
+
+
+def to_encrypted_segments(
+    key: LocalKeyBatch, segment_size: int, num_segments: int, pub_y, rng: SessionRng
+):
+    """Verifiable backup of every u_i share (gg_2018/party_i.rs:360-369):
+    -> (witnesses, encrypted segment lists), flattened [S * n] row-major."""
+    from ...host import backup
+
+    return backup.backup_batch(key.u, segment_size, num_segments, pub_y, rng)

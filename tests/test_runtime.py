@@ -41,7 +41,13 @@ def test_wire_roundtrip():
 @pytest.fixture(scope="module")
 def keygen_outputs():
     machines = [Gg20Keygen(i, 1, 3, SessionRng(100 + i), paillier_bits=BITS) for i in (1, 2, 3)]
-    outs = run_simulation(machines)
+    bench = {}
+    outs = run_simulation(machines, benchmarks=bench)
+    # Simulation::enable_benchmarks analog: every round timed for every party
+    assert sorted(bench) == [0, 1, 2, 3, 4]
+    assert all(len(v) == 3 for v in bench.values())
+    # progress repr (OfflineStageProgress analog, sign/fmt.rs:11-126)
+    assert "finished" in repr(machines[0])
     return outs
 
 
@@ -111,6 +117,8 @@ def test_relay_transport(keygen_outputs):
 def test_round_blame_reports_missing():
     sm = Gg20Keygen(1, 1, 3, SessionRng(400), paillier_bits=BITS)
     assert sm.wants_to_proceed()
+    assert "round 0" in repr(sm)
     sm.proceed()  # round 0 -> broadcasts M1, now waiting
     count, blamed = sm.round_blame()
     assert count == 2 and blamed == [2, 3]
+    assert "[bc 0/2]*" in repr(sm)

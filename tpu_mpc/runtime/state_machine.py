@@ -115,6 +115,24 @@ class StateMachine(abc.ABC):
     def round_timeout(self) -> Optional[float]:
         return None  # matches the reference (keygen.rs:291-297)
 
+    def __repr__(self) -> str:
+        """Human-readable round progress (OfflineStageProgress,
+        state_machine/sign/fmt.rs:11-126): one `[bc k/n-1]` cell per round
+        store — `*` marks the current round, `-` a not-yet-reached one."""
+        cells = []
+        for r in range(1, self.num_rounds + 1):
+            got = len(self.stores[r].msgs)
+            mark = "*" if r == self.current_round else ""
+            cells.append(
+                f"[bc {got}/{self.party_n - 1}]{mark}" if r <= self.current_round or got
+                else "[-]"
+            )
+        state = "finished" if self.is_finished() else f"round {self.current_round}"
+        return (
+            f"<{type(self).__name__} party {self.party_i}/{self.party_n} "
+            f"{state} {' '.join(cells)}>"
+        )
+
     # -- helpers -------------------------------------------------------------
     def _broadcast(self, round_no: int, payload: dict) -> None:
         self.message_queue.append(
@@ -129,9 +147,17 @@ class StateMachine(abc.ABC):
         """Run the transition out of `completed_round` (0 = initial)."""
 
 
-def run_simulation(machines: list[StateMachine], max_steps: int = 10000):
+def run_simulation(machines: list[StateMachine], max_steps: int = 10000,
+                   benchmarks: dict | None = None):
     """In-process multi-party execution (round_based::dev::Simulation,
-    state_machine/keygen.rs:493-527): pump messages until all finish."""
+    state_machine/keygen.rs:493-527): pump messages until all finish.
+
+    Pass a dict as `benchmarks` to collect per-round proceed() wall times
+    (Simulation::enable_benchmarks, keygen.rs:499-510): it is filled with
+    {round_no: [seconds, ...]} across all machines.
+    """
+    import time as _time
+
     steps = 0
     while not all(m.is_finished() for m in machines):
         steps += 1
@@ -142,7 +168,11 @@ def run_simulation(machines: list[StateMachine], max_steps: int = 10000):
         progressed = False
         for m in machines:
             if m.wants_to_proceed():
+                rnd = m.current_round if m.started else 0
+                t0 = _time.perf_counter()
                 m.proceed()
+                if benchmarks is not None:
+                    benchmarks.setdefault(rnd, []).append(_time.perf_counter() - t0)
                 progressed = True
         # deliver all queued messages
         for m in machines:

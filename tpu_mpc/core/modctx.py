@@ -17,7 +17,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from .limbs import batch_from_limbs, batch_to_limbs, nlimbs
-from .montgomery import MontCtx, mont_exp
+from .montgomery import MontCtx, mont_exp, mont_exp_prod
 
 # exponent-width ladder (bits): actual exponents are zero-padded up to the
 # next class; extra windows square zeros, costing ~0-15% over exact width.
@@ -128,6 +128,40 @@ class ModCtx:
         bc = lambda a: _flatten_pad(jnp.broadcast_to(a, shape + a.shape[-1:]), shape)
         ctxf = MontCtx(bc(self.ctx.n), bc(self.ctx.n0inv), bc(self.ctx.r2), bc(self.ctx.rone))
         out = mont_exp(xf, ef, ctxf, ebits=eb)
+        lead = int(np.prod(shape)) if shape else 1
+        res = batch_from_limbs(np.asarray(out[:lead]))
+        return res.reshape(shape) if shape else res
+
+    def pow_prod(self, bases, exps, ebits_hints=None) -> np.ndarray:
+        """prod_i bases[i]**exps[i] mod n in ONE device launch with shared
+        squarings (Straus).  bases/exps: sequences of object ndarrays.  This
+        is the fast path for ring-Pedersen commitments h1^a h2^b and for
+        folding the extra z^e / c^e factors of the verify equations."""
+        bases = [np.asarray(b, dtype=object) for b in bases]
+        exps = [np.asarray(e, dtype=object) for e in exps]
+        shape = np.broadcast_shapes(
+            self.batch_shape, *(b.shape for b in bases), *(e.shape for e in exps)
+        )
+        ebs = []
+        for k, e in enumerate(exps):
+            hint = None if ebits_hints is None else ebits_hints[k]
+            if hint is None:
+                flat = np.broadcast_to(e, shape).reshape(-1)
+                hint = max((int(v).bit_length() for v in flat.tolist()), default=1)
+            ebs.append(ebits_class(max(hint, 1)))
+        L = nlimbs(self.bits)
+        n_b = np.broadcast_to(self.n_ints, shape)
+        xf = tuple(
+            _flatten_pad(jnp.asarray(batch_to_limbs(np.mod(np.broadcast_to(b, shape), n_b), L)), shape)
+            for b in bases
+        )
+        ef = tuple(
+            _flatten_pad(jnp.asarray(batch_to_limbs(np.broadcast_to(e, shape), nlimbs(eb))), shape)
+            for e, eb in zip(exps, ebs)
+        )
+        bc = lambda a: _flatten_pad(jnp.broadcast_to(a, shape + a.shape[-1:]), shape)
+        ctxf = MontCtx(bc(self.ctx.n), bc(self.ctx.n0inv), bc(self.ctx.r2), bc(self.ctx.rone))
+        out = mont_exp_prod(xf, ef, ctxf, ebits_list=tuple(ebs))
         lead = int(np.prod(shape)) if shape else 1
         res = batch_from_limbs(np.asarray(out[:lead]))
         return res.reshape(shape) if shape else res

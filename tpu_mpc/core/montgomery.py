@@ -171,6 +171,124 @@ def mont_exp(x, e, ctx: MontCtx, ebits: int):
     return from_mont(acc, ctx)
 
 
+@functools.partial(jax.jit, static_argnames=("ebits_list",))
+def mont_exp_prod(xs, es, ctx: MontCtx, ebits_list: tuple):
+    """prod_i xs[i]^es[i] mod n with shared squarings (Straus/Shamir).
+
+    The ring-Pedersen pattern h1^a * h2^b (mod N~) dominates the MtA range
+    proofs (reference: src/utilities/mta/range_proofs.rs:58-67,145-156); a
+    k-way product shares one squaring chain across all k exponents, cutting
+    the montmul count per window from k*(WINDOW+1) to WINDOW+k.
+
+    xs: tuple of [..., L] bases (canonical < n); es: tuple of [..., Le_i]
+    exponents with es[i] < 2^ebits_list[i] (static).  Exponents of different
+    widths are staged MSB-first: a fori_loop per distinct width, so short
+    exponents cost no table muls in the high windows.
+    """
+    assert len(xs) == len(es) == len(ebits_list) >= 1
+    L = ctx.L
+    nent = 1 << WINDOW
+    nws = [-(-eb // WINDOW) for eb in ebits_list]
+    nw_max = max(nws)
+    batch = jnp.broadcast_shapes(
+        ctx.rone.shape[:-1], *(x.shape[:-1] for x in xs), *(e.shape[:-1] for e in es)
+    )
+    rone = jnp.broadcast_to(ctx.rone, batch + (L,))
+
+    tables = []
+    for x in xs:
+        xm = to_mont(x, ctx)
+        entries = [rone, jnp.broadcast_to(xm, batch + (L,))]
+        for _ in range(nent - 2):
+            entries.append(mont_mul(entries[-1], xm, ctx))
+        tables.append(jnp.stack(entries, axis=0))
+    es = [jnp.broadcast_to(e, batch + (e.shape[-1],)) for e in es]
+
+    def digit_of(e, j):
+        # window j counts from the MSB of the widest exponent
+        bitpos = (nw_max - 1 - j) * WINDOW
+        limb = bitpos // LIMB_BITS
+        off = bitpos % LIMB_BITS
+        elimb = lax.dynamic_index_in_dim(e, limb, axis=-1, keepdims=False)
+        return (elimb >> off) & (nent - 1)
+
+    def make_body(active):
+        def body(j, acc):
+            for _ in range(WINDOW):
+                acc = mont_mul(acc, acc, ctx)
+            for i in active:
+                acc = mont_mul(acc, _select_entry(tables[i], digit_of(es[i], j), nent), ctx)
+            return acc
+
+        return body
+
+    starts = sorted({nw_max - nw for nw in nws})
+    bounds = starts + [nw_max]
+    acc = rone
+    for k, lo in enumerate(starts):
+        active = [i for i in range(len(xs)) if nw_max - nws[i] <= lo]
+        acc = lax.fori_loop(lo, bounds[k + 1], make_body(active), acc)
+    return from_mont(acc, ctx)
+
+
+@functools.partial(jax.jit, static_argnames=("nw",))
+def make_fixed_table(x, ctx: MontCtx, nw: int):
+    """Fixed-base window table: T[j, d] = x^(d * 16^j) in Montgomery form.
+
+    Built once per long-lived base (the ring-Pedersen h1/h2 of each party,
+    reference src/utilities/mta/range_proofs.rs:58-67) and reused across all
+    sessions and rounds; mont_exp_fixed_prod then needs ZERO squarings.
+    Output: [nw, 16] + batch + [L].
+    """
+    L = ctx.L
+    nent = 1 << WINDOW
+    batch = jnp.broadcast_shapes(x.shape[:-1], ctx.rone.shape[:-1])
+    rone = jnp.broadcast_to(ctx.rone, batch + (L,))
+    xm = jnp.broadcast_to(to_mont(x, ctx), batch + (L,))
+
+    def step(b, _):
+        entries = [rone, b]
+        for _ in range(nent - 2):
+            entries.append(mont_mul(entries[-1], b, ctx))
+        nxt = b
+        for _ in range(WINDOW):
+            nxt = mont_mul(nxt, nxt, ctx)
+        return nxt, jnp.stack(entries, axis=0)
+
+    _, table = lax.scan(step, xm, None, length=nw)
+    return table
+
+
+@functools.partial(jax.jit, static_argnames=("ebits_list",))
+def mont_exp_fixed_prod(tables, es, ctx: MontCtx, ebits_list: tuple):
+    """prod_i base_i^es[i] mod n from precomputed tables — no squarings.
+
+    tables[i]: [nw_i, 16] + batch_i + [L] (batch_i broadcastable against the
+    exponent batch); es[i]: [..., Le_i] with es[i] < 2^ebits_list[i].
+    Cost: sum_i ceil(ebits_i/4) montmuls total (vs ~1.5-5x that for the
+    shared-squaring / independent paths).
+    """
+    nent = 1 << WINDOW
+    nws = [-(-eb // WINDOW) for eb in ebits_list]
+    batch = jnp.broadcast_shapes(
+        ctx.rone.shape[:-1], *(e.shape[:-1] for e in es)
+    )
+    acc = jnp.broadcast_to(ctx.rone, batch + (ctx.L,))
+    for i, (table, e, nw) in enumerate(zip(tables, es, nws)):
+        assert table.shape[0] >= nw, f"table {i} too short: {table.shape[0]} < {nw}"
+
+        def body(j, acc, table=table, e=e):
+            limb = (j * WINDOW) // LIMB_BITS
+            off = (j * WINDOW) % LIMB_BITS
+            elimb = lax.dynamic_index_in_dim(e, limb, axis=-1, keepdims=False)
+            digit = (elimb >> off) & (nent - 1)
+            entry = lax.dynamic_index_in_dim(table, j, axis=0, keepdims=False)
+            return mont_mul(acc, _select_entry(entry, digit, nent), ctx)
+
+        acc = lax.fori_loop(0, nw, body, acc)
+    return from_mont(acc, ctx)
+
+
 def mont_exp_const(x, e_int: int, ctx: MontCtx, ebits: int | None = None):
     """x^e for a host-known (shared) exponent e_int."""
     if ebits is None:

@@ -67,18 +67,19 @@ def pdl_slack_prove(x_ints, r_ints, stmt: PDLwSlackStatementBatch, rng) -> PDLwS
     rho = rng.below(Q * n_t, shape)
     gamma = rng.below(Q3 * n_t, shape)
 
-    z = _mulmod(stmt.dlog.ctx.pow(stmt.dlog.h1, x), stmt.dlog.ctx.pow(stmt.dlog.h2, rho), n_t)
+    z = stmt.dlog.ctx.pow_prod([stmt.dlog.h1, stmt.dlog.h2], [x, rho])
     u1_pt = dec.scalar_mul(dec.sc_from_ints(obj_mod(alpha, Q)), stmt.G_pt)
     u1x_l, u1y_l, _ = dec.to_affine(u1_pt)
     # keep object ndarrays even at 0-d (single-session runtime path)
     u1_x = np.asarray(batch_from_limbs(np.asarray(u1x_l)), dtype=object)
     u1_y = np.asarray(batch_from_limbs(np.asarray(u1y_l)), dtype=object)
+    # (N+1)^alpha mod N^2 == 1 + alpha*N (binomial identity): host-side, free
     u2 = _mulmod(
-        stmt.ek.nn_ctx.pow(n + 1, alpha),
+        alpha * n + 1,
         stmt.ek.nn_ctx.pow(beta, n),
         nn,
     )
-    u3 = _mulmod(stmt.dlog.ctx.pow(stmt.dlog.h1, alpha), stmt.dlog.ctx.pow(stmt.dlog.h2, gamma), n_t)
+    u3 = stmt.dlog.ctx.pow_prod([stmt.dlog.h1, stmt.dlog.h2], [alpha, gamma])
 
     e = digest_rows(
         point_hash_ints(stmt.G_pt),
@@ -124,14 +125,13 @@ def pdl_slack_verify(proof: PDLwSlackProofBatch, stmt: PDLwSlackStatementBatch) 
     u1_ok = np.asarray(dec.point_eq(u1_test, pts_from_xy(proof.u1_x, proof.u1_y)))
 
     u2_test = _mulmod(
-        stmt.ek.nn_ctx.pow(n + 1, proof.s1),
+        np.broadcast_to(np.asarray(proof.s1, dtype=object), shape) * n + 1,
         stmt.ek.nn_ctx.pow(proof.s2, n),
         _invmod(stmt.ek.nn_ctx.pow(stmt.ciphertext, e), nn),
         nn,
     )
     u3_test = _mulmod(
-        stmt.dlog.ctx.pow(stmt.dlog.h1, proof.s1),
-        stmt.dlog.ctx.pow(stmt.dlog.h2, proof.s3),
+        stmt.dlog.ctx.pow_prod([stmt.dlog.h1, stmt.dlog.h2], [proof.s1, proof.s3]),
         _invmod(stmt.dlog.ctx.pow(proof.z, e), n_t),
         n_t,
     )

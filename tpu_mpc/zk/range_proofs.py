@@ -177,10 +177,10 @@ def alice_prove(a_ints, cipher, ek: PaillierCtxBatch, stmt: DlogStatementBatch, 
     gamma = rng.below(Q3 * n_t, shape)
     rho = rng.below(Q * n_t, shape)
 
-    z = _mulmod(stmt.ctx.pow(stmt.h1, a), stmt.ctx.pow(stmt.h2, rho), n_t)
+    z = stmt.ctx.pow_prod([stmt.h1, stmt.h2], [a, rho])
     beta_n = ek.nn_ctx.pow(beta, np.broadcast_to(ek.n, shape))
     u = _mulmod(alpha * np.broadcast_to(ek.n, shape) + 1, beta_n, np.broadcast_to(ek.nn, shape))
-    w = _mulmod(stmt.ctx.pow(stmt.h1, alpha), stmt.ctx.pow(stmt.h2, gamma), n_t)
+    w = stmt.ctx.pow_prod([stmt.h1, stmt.h2], [alpha, gamma])
 
     gen = np.broadcast_to(ek.n, shape) + 1
     e = digest_rows(np.broadcast_to(ek.n, shape), gen, cipher, z, u, w)
@@ -205,8 +205,7 @@ def alice_verify(proof: AliceProofBatch, cipher, ek: PaillierCtxBatch, stmt: Dlo
 
     z_e = stmt.ctx.pow(proof.z, proof.e)
     w = _mulmod(
-        stmt.ctx.pow(stmt.h1, proof.s1),
-        stmt.ctx.pow(stmt.h2, proof.s2),
+        stmt.ctx.pow_prod([stmt.h1, stmt.h2], [proof.s1, proof.s2]),
         _invmod(z_e, n_t),
         n_t,
     )
@@ -263,14 +262,13 @@ def bob_prove(
     sigma = rng.below(Q * n_t, shape)
     tau = rng.below(Q3 * n_t, shape)
 
-    z = _mulmod(stmt.ctx.pow(stmt.h1, b_arr), stmt.ctx.pow(stmt.h2, rho), n_t)
-    z_prim = _mulmod(stmt.ctx.pow(stmt.h1, alpha), stmt.ctx.pow(stmt.h2, rho_prim), n_t)
-    t = _mulmod(stmt.ctx.pow(stmt.h1, beta_prim), stmt.ctx.pow(stmt.h2, sigma), n_t)
-    w = _mulmod(stmt.ctx.pow(stmt.h1, gamma), stmt.ctx.pow(stmt.h2, tau), n_t)
+    z = stmt.ctx.pow_prod([stmt.h1, stmt.h2], [b_arr, rho])
+    z_prim = stmt.ctx.pow_prod([stmt.h1, stmt.h2], [alpha, rho_prim])
+    t = stmt.ctx.pow_prod([stmt.h1, stmt.h2], [beta_prim, sigma])
+    w = stmt.ctx.pow_prod([stmt.h1, stmt.h2], [gamma, tau])
     v = _mulmod(
-        ek.nn_ctx.pow(a_enc, alpha),
+        ek.nn_ctx.pow_prod([a_enc, beta], [alpha, n]),
         gamma * n + 1,
-        ek.nn_ctx.pow(beta, n),
         nn,
     )
 
@@ -316,25 +314,26 @@ def bob_verify(
         np.broadcast_to(np.asarray(proof.s1, dtype=object), shape)
     )
 
-    z_e = stmt.ctx.pow(proof.z, proof.e)
+    # z^e and t^e share modulus + exponent width: one stacked launch
+    ze_te = stmt.ctx.pow(
+        np.stack([np.broadcast_to(proof.z, shape), np.broadcast_to(proof.t, shape)]),
+        np.broadcast_to(proof.e, (2,) + shape),
+    )
+    z_e, t_e = ze_te[0], ze_te[1]
     z_prim = _mulmod(
-        stmt.ctx.pow(stmt.h1, proof.s1),
-        stmt.ctx.pow(stmt.h2, proof.s2),
+        stmt.ctx.pow_prod([stmt.h1, stmt.h2], [proof.s1, proof.s2]),
         _invmod(z_e, n_t),
         n_t,
     )
     mta_e = ek.nn_ctx.pow(mta_enc, proof.e)
     v = _mulmod(
-        ek.nn_ctx.pow(a_enc, proof.s1),
-        ek.nn_ctx.pow(proof.s, n),
+        ek.nn_ctx.pow_prod([a_enc, proof.s], [proof.s1, n]),
         np.broadcast_to(np.asarray(proof.t1, dtype=object), shape) * n + 1,
         _invmod(mta_e, nn),
         nn,
     )
-    t_e = stmt.ctx.pow(proof.t, proof.e)
     w = _mulmod(
-        stmt.ctx.pow(stmt.h1, proof.t1),
-        stmt.ctx.pow(stmt.h2, proof.t2),
+        stmt.ctx.pow_prod([stmt.h1, stmt.h2], [proof.t1, proof.t2]),
         _invmod(t_e, n_t),
         n_t,
     )

@@ -75,7 +75,9 @@ class StateMachine(abc.ABC):
         if rnd is None or not (1 <= rnd <= self.num_rounds):
             raise ProtocolError("unknown round", [msg.sender])
         if rnd < self.current_round:
-            raise ProtocolError("message for finished round", [msg.sender])
+            return  # late duplicate from a slow-but-honest party: drop it
+            # (round_based stores silently ignore completed rounds; raising
+            # here would let one stale relay replay kill a live session)
         self.stores[rnd].push(msg)
 
     def wants_to_proceed(self) -> bool:

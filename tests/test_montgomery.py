@@ -91,3 +91,88 @@ def test_mod_inv_prime(rng):
     a = jnp.asarray(batch_to_limbs(xs, L))
     got = batch_from_limbs(np.asarray(mont.mod_inv_prime(a, ctx, p)))
     assert [int(v) for v in got] == [pow(x, -1, p) for x in xs]
+
+
+def test_mont_exp_prod_mixed_widths(rng):
+    """Straus shared-squaring product vs pow(): mixed exponent widths incl.
+    zero exponents and staging boundaries (ADVICE r1 item 4)."""
+    bits = 256
+    L = nlimbs(bits)
+    ns = [odd_modulus(rng, bits) for _ in range(4)]
+    ctx = mont.MontCtx.from_ints(ns, bits)
+    xs1 = [rng.getrandbits(bits) % n for n in ns]
+    xs2 = [rng.getrandbits(bits) % n for n in ns]
+    for eb1, eb2 in [(256, 256), (64, 256), (16, 256), (256, 16)]:
+        es1 = [rng.getrandbits(eb1) for _ in range(4)]
+        es2 = [rng.getrandbits(eb2) for _ in range(4)]
+        es1[0] = 0  # zero exponent edge
+        got = batch_from_limbs(np.asarray(mont.mont_exp_prod(
+            (jnp.asarray(batch_to_limbs(xs1, L)), jnp.asarray(batch_to_limbs(xs2, L))),
+            (jnp.asarray(batch_to_limbs(es1, nlimbs(eb1))),
+             jnp.asarray(batch_to_limbs(es2, nlimbs(eb2)))),
+            ctx, ebits_list=(eb1, eb2),
+        )))
+        want = [pow(a, e1, n) * pow(b, e2, n) % n
+                for a, b, e1, e2, n in zip(xs1, xs2, es1, es2, ns)]
+        assert [int(v) for v in got] == want, (eb1, eb2)
+
+
+def test_mont_exp_prod_class_boundary_exponents(rng):
+    """Exponents exactly at an EBITS class boundary (all-ones top window)."""
+    bits = 256
+    L = nlimbs(bits)
+    n_int = odd_modulus(rng, bits)
+    ctx = mont.MontCtx.from_ints(n_int, bits)
+    xs = [rng.getrandbits(bits) % n_int for _ in range(3)]
+    es = [(1 << 256) - 1, (1 << 255) | 1, 1]
+    got = batch_from_limbs(np.asarray(mont.mont_exp_prod(
+        (jnp.asarray(batch_to_limbs(xs, L)),),
+        (jnp.asarray(batch_to_limbs(es, nlimbs(256))),),
+        ctx, ebits_list=(256,),
+    )))
+    assert [int(v) for v in got] == [pow(x, e, n_int) for x, e in zip(xs, es)]
+
+
+def test_fixed_table_and_fixed_prod(rng):
+    """make_fixed_table + mont_exp_fixed_prod vs pow(): the zero-squaring
+    fixed-base path now wired into the ring-Pedersen call sites."""
+    bits = 512
+    L = nlimbs(bits)
+    ns = [odd_modulus(rng, bits) for _ in range(2)]
+    ctx = mont.MontCtx.from_ints(ns, bits)
+    h1 = [rng.getrandbits(bits) % n for n in ns]
+    h2 = [rng.getrandbits(bits) % n for n in ns]
+    max_eb = 768
+    nw = -(-max_eb // 4)
+    t1 = mont.make_fixed_table(jnp.asarray(batch_to_limbs(h1, L)), ctx, nw)
+    t2 = mont.make_fixed_table(jnp.asarray(batch_to_limbs(h2, L)), ctx, nw)
+    for eb1, eb2 in [(768, 768), (256, 768), (768, 16), (16, 16)]:
+        es1 = [rng.getrandbits(eb1) for _ in range(2)]
+        es2 = [0, rng.getrandbits(eb2)]  # zero exponent edge
+        got = batch_from_limbs(np.asarray(mont.mont_exp_fixed_prod(
+            (t1, t2),
+            (jnp.asarray(batch_to_limbs(es1, nlimbs(eb1))),
+             jnp.asarray(batch_to_limbs(es2, nlimbs(eb2)))),
+            ctx, ebits_list=(eb1, eb2),
+        )))
+        want = [pow(a, e1, n) * pow(b, e2, n) % n
+                for a, b, e1, e2, n in zip(h1, h2, es1, es2, ns)]
+        assert [int(v) for v in got] == want, (eb1, eb2)
+
+
+def test_modctx_pow_fixed_prod_scalar_path(rng):
+    """ModCtx.make_tables + pow_fixed_prod on the 0-d (single-session) path
+    must agree with pow_prod and host pow()."""
+    from tpu_mpc.core.modctx import ModCtx
+
+    bits = 512
+    n_int = odd_modulus(rng, bits)
+    mc = ModCtx.from_ints(n_int, bits)
+    h1, h2 = rng.getrandbits(bits) % n_int, rng.getrandbits(bits) % n_int
+    tab = mc.make_tables(np.asarray([h1, h2], dtype=object), max_ebits=768)
+    e1, e2 = rng.getrandbits(256), rng.getrandbits(768)
+    got = mc.pow_fixed_prod((tab[:, :, 0], tab[:, :, 1]),
+                            [np.asarray(e1, object), np.asarray(e2, object)],
+                            ebits_hints=(256, 768))
+    want = pow(h1, e1, n_int) * pow(h2, e2, n_int) % n_int
+    assert int(got) == want  # 0-d path returns a bare python int

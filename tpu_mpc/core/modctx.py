@@ -16,8 +16,40 @@ import dataclasses
 import numpy as np
 import jax.numpy as jnp
 
+import os
+import time
+
 from .limbs import batch_from_limbs, batch_to_limbs, nlimbs
-from .montgomery import MontCtx, mont_exp, mont_exp_prod
+from .montgomery import (
+    MontCtx,
+    make_fixed_table,
+    mont_exp,
+    mont_exp_fixed_prod,
+    mont_exp_prod,
+)
+
+# Launch profiling (enable with TPU_MPC_PROFILE=1): records one row per
+# device modexp launch — the dominant cost of every protocol round — so the
+# bench can report exactly where wall-clock goes.
+PROFILE = bool(int(os.environ.get("TPU_MPC_PROFILE", "0")))
+PROFILE_LOG: list[tuple] = []  # (kind, flat_batch, mod_bits, ebits, seconds)
+
+
+def profile_summary(reset: bool = True) -> str:
+    rows = {}
+    for kind, b, bits, ebs, dt in PROFILE_LOG:
+        key = (kind, bits, ebs)
+        n, tot = rows.get(key, (0, 0.0))
+        rows[key] = (n + 1, tot + dt)
+    lines = [
+        f"{kind:9s} mod={bits:5d} ebits={str(ebs):18s} calls={n:4d} total={tot:8.2f}s"
+        for (kind, bits, ebs), (n, tot) in sorted(rows.items(), key=lambda kv: -kv[1][1])
+    ]
+    total = sum(dt for *_, dt in PROFILE_LOG)
+    lines.append(f"TOTAL modexp launches: {len(PROFILE_LOG)}  {total:.2f}s")
+    if reset:
+        PROFILE_LOG.clear()
+    return "\n".join(lines)
 
 # exponent-width ladder (bits): actual exponents are zero-padded up to the
 # next class; extra windows square zeros, costing ~0-15% over exact width.
@@ -50,7 +82,12 @@ def _flatten_pad(a, batch_shape):
     if Bp != lead:
         pad = jnp.broadcast_to(flat[0:1], (Bp - lead,) + flat.shape[1:])
         flat = jnp.concatenate([flat, pad], axis=0)
-    return flat
+    # multi-chip: partition the flattened batch over the active sessions
+    # mesh (no-op single-chip).  Inputs sharded => XLA compiles the modexp
+    # SPMD across the mesh; sessions are independent, so no collectives.
+    from ..sharding import mesh as _mesh
+
+    return _mesh.shard_flat(flat)
 
 
 @dataclasses.dataclass
@@ -127,10 +164,60 @@ class ModCtx:
         # batch shape must be numpy-broadcast-compatible with `shape`)
         bc = lambda a: _flatten_pad(jnp.broadcast_to(a, shape + a.shape[-1:]), shape)
         ctxf = MontCtx(bc(self.ctx.n), bc(self.ctx.n0inv), bc(self.ctx.r2), bc(self.ctx.rone))
+        t0 = time.perf_counter() if PROFILE else 0.0
         out = mont_exp(xf, ef, ctxf, ebits=eb)
         lead = int(np.prod(shape)) if shape else 1
-        res = batch_from_limbs(np.asarray(out[:lead]))
+        res_limbs = np.asarray(out[:lead])
+        if PROFILE:
+            PROFILE_LOG.append(("pow", xf.shape[0], self.bits, eb, time.perf_counter() - t0))
+        res = batch_from_limbs(res_limbs)
         return res.reshape(shape) if shape else res
+
+    def make_tables(self, bases, max_ebits: int) -> jnp.ndarray:
+        """Precompute fixed-base window tables for long-lived bases.
+
+        bases: object ndarray [k, ...batch] (k bases, e.g. (h1, h2)).
+        Returns a device array [nw, 16, k, ...batch, L] usable by
+        pow_fixed_prod for any exponent width up to max_ebits.  One launch
+        builds all k tables (reference hot pattern: the ring-Pedersen h1/h2
+        of range_proofs.rs:58-67 are fixed for the life of a key)."""
+        nw = -(-ebits_class(max_ebits) // 4)
+        L = nlimbs(self.bits)
+        b = np.asarray(bases, dtype=object)
+        n_b = np.broadcast_to(self.n_ints, b.shape)
+        x = jnp.asarray(batch_to_limbs(np.mod(b, n_b), L))
+        return make_fixed_table(x, self.ctx, nw)
+
+    def pow_fixed_prod(self, tables, exps, ebits_hints) -> np.ndarray:
+        """prod_i base_i^exps[i] mod n from precomputed window tables —
+        zero squarings (the per-window chain is just one montmul per base).
+
+        tables: sequence of [nw, 16, ...tbatch, L] device arrays whose tbatch
+        broadcasts against the exponent batch (build via make_tables; index
+        its k axis).  exps: sequence of object ndarrays.  ebits_hints are
+        REQUIRED (never measured — exponents here are usually secrets or
+        attacker-controlled proof fields; ADVICE r1)."""
+        exps = [np.asarray(e, dtype=object) for e in exps]
+        shape = np.broadcast_shapes(self.batch_shape, *(e.shape for e in exps))
+        ebs = [ebits_class(max(h, 1)) for h in ebits_hints]
+        from ..sharding import mesh as _mesh
+
+        ef = tuple(
+            _mesh.shard_leading(
+                jnp.asarray(batch_to_limbs(np.broadcast_to(e, shape), nlimbs(eb))), shape
+            )
+            for e, eb in zip(exps, ebs)
+        )
+        t0 = time.perf_counter() if PROFILE else 0.0
+        out = mont_exp_fixed_prod(tuple(tables), ef, self.ctx, ebits_list=tuple(ebs))
+        out = jnp.broadcast_to(out, shape + out.shape[-1:])
+        res_limbs = np.asarray(out)
+        if PROFILE:
+            PROFILE_LOG.append(
+                ("pow_fixed", int(np.prod(shape)) if shape else 1, self.bits,
+                 tuple(ebs), time.perf_counter() - t0)
+            )
+        return batch_from_limbs(res_limbs)
 
     def pow_prod(self, bases, exps, ebits_hints=None) -> np.ndarray:
         """prod_i bases[i]**exps[i] mod n in ONE device launch with shared
@@ -161,7 +248,11 @@ class ModCtx:
         )
         bc = lambda a: _flatten_pad(jnp.broadcast_to(a, shape + a.shape[-1:]), shape)
         ctxf = MontCtx(bc(self.ctx.n), bc(self.ctx.n0inv), bc(self.ctx.r2), bc(self.ctx.rone))
+        t0 = time.perf_counter() if PROFILE else 0.0
         out = mont_exp_prod(xf, ef, ctxf, ebits_list=tuple(ebs))
         lead = int(np.prod(shape)) if shape else 1
-        res = batch_from_limbs(np.asarray(out[:lead]))
+        res_limbs = np.asarray(out[:lead])
+        if PROFILE:
+            PROFILE_LOG.append(("pow_prod", xf[0].shape[0], self.bits, tuple(ebs), time.perf_counter() - t0))
+        res = batch_from_limbs(res_limbs)
         return res.reshape(shape) if shape else res

@@ -26,14 +26,45 @@ Q = hec.N
 
 def point_hash_ints(P: ec.Point) -> np.ndarray:
     """Device point batch -> object array of ints (compressed-bytes-as-int)."""
-    pts = ec.points_to_host(P)
-    if pts is None or isinstance(pts, tuple):  # scalar (unbatched) point
-        return int.from_bytes(hec.compress(pts), "big")
-    flat = np.reshape(np.asarray(pts, dtype=object), -1)
-    out = np.empty(flat.shape, dtype=object)
-    for i, p in enumerate(flat):
-        out[i] = int.from_bytes(hec.compress(p), "big")
-    return out.reshape(np.shape(pts)) if np.shape(pts) else out[0]
+    return point_hash_ints_many(P)[0]
+
+
+def point_hash_ints_many(*Ps: ec.Point) -> list:
+    """Compressed-int encodings of SEVERAL point batches in ONE device
+    launch + ONE host sync.
+
+    Every to_affine costs a full fe_inv (a ~255-squaring chain) and a
+    blocking device->host read; hashing a sigma-protocol statement point by
+    point was the single largest launch source in the r1 profile.  Stacking
+    all points of a challenge into one batch amortizes both."""
+    import jax.numpy as jnp
+
+    batch = np.broadcast_shapes(*(p.X.shape[:-1] for p in Ps))
+    Lc = Ps[0].X.shape[-1]
+    stacked = ec.Point(
+        *(
+            jnp.stack([jnp.broadcast_to(getattr(p, c), batch + (Lc,)) for p in Ps])
+            for c in ("X", "Y", "Z")
+        )
+    )
+    x, y, inf = ec.to_affine(stacked)
+    xs = np.asarray(x)
+    parity = (np.asarray(y[..., 0]) & 1).astype(np.uint8)  # limb 0 LSB = y parity
+    infs = np.asarray(inf)
+    outs = []
+    k = xs.shape[1:-1]
+    for i in range(len(Ps)):
+        fx = xs[i].reshape(-1, Lc)
+        fp = parity[i].reshape(-1)
+        fi = infs[i].reshape(-1)
+        o = np.empty(fx.shape[0], dtype=object)
+        for b in range(fx.shape[0]):
+            if fi[b]:
+                raise ValueError("cannot serialize the identity point")
+            xb = int.from_bytes(fx[b].astype("<u2").tobytes(), "little")
+            o[b] = ((2 + int(fp[b])) << 256) | xb
+        outs.append(o.reshape(k) if k else o[0])
+    return outs
 
 
 def digest_rows(*columns, reduce_mod=None) -> np.ndarray:

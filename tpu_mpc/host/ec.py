@@ -126,6 +126,67 @@ def ecdsa_verify(pubkey: Point, msg_hash: int, r: int, s: int) -> bool:
     return pt[0] % N == r
 
 
+def ecdsa_verify_openssl(pubkey: Point, msg_hash: int, r: int, s: int) -> bool:
+    """Third-party oracle: verify via the `cryptography` (OpenSSL) secp256k1
+    backend — fully independent of this repo's EC code, the role libsecp
+    plays in the reference (gg_2020/test.rs:711-748 check_sig)."""
+    from cryptography.exceptions import InvalidSignature
+    from cryptography.hazmat.primitives import hashes as _hashes
+    from cryptography.hazmat.primitives.asymmetric import ec as _cec
+    from cryptography.hazmat.primitives.asymmetric.utils import (
+        Prehashed,
+        encode_dss_signature,
+    )
+
+    try:
+        pk = _cec.EllipticCurvePublicNumbers(pubkey[0], pubkey[1], _cec.SECP256K1()).public_key()
+        pk.verify(
+            encode_dss_signature(r, s),
+            (msg_hash % N).to_bytes(32, "big"),
+            _cec.ECDSA(Prehashed(_hashes.SHA256())),
+        )
+        return True
+    except (InvalidSignature, ValueError):
+        return False
+
+
+def ecdsa_verify_batch(pubkeys, msg_hashes, rs, ss):
+    """OpenSSL-oracle verification over a session batch -> bool list.
+
+    Caches one public-key object per distinct point: the production pattern
+    (one signer group, thousands of messages) pays the EC point load once."""
+    from cryptography.exceptions import InvalidSignature
+    from cryptography.hazmat.primitives import hashes as _hashes
+    from cryptography.hazmat.primitives.asymmetric import ec as _cec
+    from cryptography.hazmat.primitives.asymmetric.utils import (
+        Prehashed,
+        encode_dss_signature,
+    )
+
+    cache = {}
+    algo = _cec.ECDSA(Prehashed(_hashes.SHA256()))
+    out = []
+    for pub, m, r, s in zip(pubkeys, msg_hashes, rs, ss):
+        if pub is None:  # point at infinity is never a valid public key
+            out.append(False)
+            continue
+        try:
+            pk = cache.get(pub)
+            if pk is None:
+                pk = cache[pub] = _cec.EllipticCurvePublicNumbers(
+                    pub[0], pub[1], _cec.SECP256K1()
+                ).public_key()
+            pk.verify(
+                encode_dss_signature(int(r), int(s)),
+                (int(m) % N).to_bytes(32, "big"),
+                algo,
+            )
+            out.append(True)
+        except (InvalidSignature, ValueError):
+            out.append(False)
+    return out
+
+
 def ecdsa_sign(priv: int, msg_hash: int, k: int) -> Tuple[int, int]:
     """Plain (non-threshold) ECDSA with explicit nonce — test vectors only."""
     R = mul(k, G)

@@ -274,13 +274,11 @@ def sign(key: LocalKeyBatch, s_parties: list[int], m_int, rng: SessionRng) -> Si
             rec ^= 1
         s_final[b] = sv
         recid[b] = rec
-    # independent verification (reference self-verify + libsecp oracle role)
+    # independent verification: OpenSSL secp256k1 oracle (libsecp check_sig
+    # role of gg_2020/test.rs:711-748)
     y_host = dec.points_to_host(key.y)
     sig_valid = np.asarray(
-        [
-            hec.ecdsa_verify(y_host[b], int(m_arr[b]) % Q, int(r_x[b]), int(s_final[b]))
-            for b in range(S)
-        ]
+        hec.ecdsa_verify_batch(y_host, np.mod(m_arr, Q), r_x, s_final)
     )
     ok = mta_ok & com_ok & pk_ok & com5a_ok & heg_ok & rho_ok & com5c_ok & sum_ok
     return SignResult(r=r_x, s=s_final, recid=recid, ok=np.asarray(ok), sig_valid=sig_valid)

@@ -168,6 +168,10 @@ def keygen(S: int, t: int, n: int, rng: SessionRng, paillier_bits: int = 2048) -
         xi_ok[:, j] = np.asarray(dec.point_eq(xi_com, pk_j))
 
     bad = ~(com_ok & ck_ok & cd_ok & bitlen_ok & vss_ok & c0_ok & dlog_ok & xi_ok)
+    # precompute the h1/h2 fixed-base tables while the statement batch is
+    # still small (pre-tiling): every ring-Pedersen op in later signing then
+    # runs squaring-free (range_proofs.rs:58-67 pattern, done once per key)
+    dlog_stmt.ensure_tables()
     key = LocalKeyBatch20(
         S=S, t=t, n=n, paillier_bits=paillier_bits,
         p=p_fac, q=q_fac, ek=ek, dk=dk, dlog_stmt=dlog_stmt,
@@ -220,6 +224,9 @@ def offline_stage(
     S = key.S
     tp = len(s_parties)
     eye = np.eye(tp, dtype=bool)[None]
+    # fixed-base h1/h2 tables: no-op if already built at keygen or if the
+    # statement batch is too large (then pow_h1h2 falls back to pow_prod)
+    key.dlog_stmt.ensure_tables()
 
     lam = np.asarray([feldman.lagrange_coeff(i, s_parties) for i in s_parties], dtype=object)
     x_s = key.x[:, s_parties]
@@ -389,11 +396,10 @@ def sign_online(off: OfflineState, m_int, corrupt: dict | None = None) -> SignRe
         s_final[b] = sv
         recid[b] = rec
     y_host = dec.points_to_host(off.y)
+    # third-party oracle (OpenSSL secp256k1) — the libsecp check_sig role of
+    # gg_2020/test.rs:711-748, and ~20x faster than the pure-python verifier
     sig_valid = np.asarray(
-        [
-            hec.ecdsa_verify(y_host[b], int(m_arr[b]) % Q, int(off.r_x[b]), int(s_final[b]))
-            for b in range(S)
-        ]
+        hec.ecdsa_verify_batch(y_host, np.mod(m_arr, Q), off.r_x, s_final)
     )
     ok = off.ok & sig_valid
     return SignResult20(r=off.r_x, s=s_final, recid=recid, ok=ok, sig_valid=sig_valid, s_i=s_i)

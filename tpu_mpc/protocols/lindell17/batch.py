@@ -234,9 +234,13 @@ def sign(kg: KeygenResult2P, m_int, rng: SessionRng) -> Sign2PResult:
 
     y_host = dec.points_to_host(kg.p1.pubkey)
     sig_valid = np.asarray(
-        [hec.ecdsa_verify(y_host[b], int(m_arr[b]), int(rx1[b]), int(s_final[b])) for b in range(S)]
+        hec.ecdsa_verify_batch(y_host, m_arr, rx1, s_final)
     )
-    ok = p1_eph_ok & com_ok & p2_eph_ok & (rx == rx1) & sig_valid
+    # r agreement checked constant-time (subtle::ConstantTimeEq analog,
+    # party_one.rs:585) — rx involves P2's view of the secret nonce product
+    from ...utils.ct import ct_eq_int_batch
+
+    ok = p1_eph_ok & com_ok & p2_eph_ok & ct_eq_int_batch(rx, rx1) & sig_valid
     return Sign2PResult(r=rx1, s=s_final, recid=recid, ok=np.asarray(ok), sig_valid=sig_valid)
 
 

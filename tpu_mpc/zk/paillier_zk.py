@@ -5,16 +5,21 @@ Re-implementations of the zk-paillier crate's `NiCorrectKeyProof` and
 gg_2020/party_i.rs:223-239,283-298), batch-first: the K modexps per proof
 run as one device kernel over all sessions/parties.
 
-NOTE: the zk-paillier sources are not available in this environment, so the
-challenge derivations below are documented equivalents (same statement, same
-soundness argument), not byte-exact ports:
-
-  NiCorrectKeyProof (Paillier-Blum-style N-th-root extraction):
-    challenges rho_i = MGF(N, salt, i) mod N for i < K=11;
-    proof sigma_i = rho_i^{N^{-1} mod phi(N)} mod N;
-    verify: sigma_i^N == rho_i mod N, plus 2047<=|N|<=2048 and no small
-    prime factors (the bit-length policing of gg_2020/party_i.rs:287-290
-    lives in the protocol layer).
+  NiCorrectKeyProof (Goldberg et al. non-interactive RSA-modulus
+  certification, as implemented by zk-paillier 0.4.3 correct_key_ni.rs):
+    salt_bn   = BigInt::from_bytes(b"KZen")
+    seed_i    = SHA256(bytes(N) || bytes(salt_bn) || bytes(i))     (chain_bigint)
+    rho_i     = mask_generation(|N|, seed_i) mod N,  i < K=11
+    mask_generation(bits, s) = sum_j SHA256(bytes(s) || bytes(j)) << (256 j)
+                               for j in 0 .. bits//256   (msklen = bits//256 + 1)
+    proof     sigma_i = rho_i^{N^{-1} mod phi(N)} mod N   ("extract_nroot")
+    verify:   sigma_i^N == rho_i mod N for all i, AND
+              gcd(N, primorial of all primes < alpha=6370) == 1.
+    The 2047<=|N|<=2048 bit-length policing of gg_2020/party_i.rs:287-290
+    lives in the protocol layer.
+    (zk-paillier sources are not installable here, so this derivation is
+    reconstructed from the published scheme + crate docs; golden fixtures in
+    tests/test_fixtures.py pin it against drift.)
 
   CompositeDLogProof (Girault identification, order-free):
     statement (N, g, ni) with ni = g^{-x} mod N (gg20 sets h2 = h1^{x0},
@@ -36,24 +41,52 @@ from ..core.modctx import ModCtx
 from ..host.serde import bigint_to_bytes
 
 SALT_STRING = b"KZen"  # zk_paillier::zkproofs::SALT_STRING (b"\x4b\x5a\x65\x6e")
-CORRECT_KEY_K = 11     # number of N-th root challenges
-_SMALL_PRIME_BOUND = 1000
+_SALT_BN = int.from_bytes(SALT_STRING, "big")
+CORRECT_KEY_K = 11     # AMOUNT_OF_ROUNDS: soundness 128 / log2(alpha=6370)
+_DIGEST_SIZE = 256     # SHA-256 output bits (mask_generation chunk stride)
+_ALPHA = 6370          # verifier requires gcd(N, primorial(<alpha)) == 1
 
 
-def _mgf_below(n: int, salt: bytes, index: int, nbits: int) -> int:
-    """Deterministic challenge < n: SHA-256 counter-mode expansion mod n."""
-    out = b""
-    ctr = 0
-    need = (nbits + 7) // 8 + 16
-    seed = bigint_to_bytes(n) + salt + index.to_bytes(4, "big")
-    while len(out) < need:
-        out += hashlib.sha256(seed + ctr.to_bytes(4, "big")).digest()
-        ctr += 1
-    return int.from_bytes(out[:need], "big") % n
+def _sha256_bigints(*xs: int) -> int:
+    """Sha256::new().chain_bigint(..).result_bigint() (curv DigestExt)."""
+    h = hashlib.sha256()
+    for x in xs:
+        h.update(bigint_to_bytes(x))
+    return int.from_bytes(h.digest(), "big")
 
 
-def correct_key_challenges(n: int, bits: int = 2048) -> list[int]:
-    return [_mgf_below(n, SALT_STRING, i, bits) for i in range(CORRECT_KEY_K)]
+def mask_generation(out_bits: int, seed: int) -> int:
+    """zk-paillier mask_generation: concat SHA-256(seed||j) chunks, chunk j
+    shifted left by 256*j (low chunk first)."""
+    msklen = out_bits // _DIGEST_SIZE + 1
+    acc = 0
+    for j in range(msklen):
+        acc += _sha256_bigints(seed, j) << (_DIGEST_SIZE * j)
+    return acc
+
+
+def _primorial(bound: int) -> int:
+    sieve = np.ones(bound, dtype=bool)
+    sieve[:2] = False
+    for p in range(2, int(bound ** 0.5) + 1):
+        if sieve[p]:
+            sieve[p * p :: p] = False
+    acc = 1
+    for p in np.nonzero(sieve)[0].tolist():
+        acc *= int(p)
+    return acc
+
+
+ALPHA_PRIMORIAL = _primorial(_ALPHA)  # ~9.1k-bit constant, computed once
+
+
+def correct_key_challenges(n: int) -> list[int]:
+    """rho_i for i < K — zk-paillier correct_key_ni.rs proof()/verify()."""
+    key_length = n.bit_length()
+    return [
+        mask_generation(key_length, _sha256_bigints(n, _SALT_BN, i)) % n
+        for i in range(CORRECT_KEY_K)
+    ]
 
 
 @dataclasses.dataclass
@@ -76,7 +109,7 @@ def correct_key_prove(n_ctx: ModCtx, phis) -> CorrectKeyProofBatch:
     for b in range(flat_n.shape[0]):
         n = int(flat_n[b])
         minv = pow(n, -1, int(flat_phi[b]))
-        ch = correct_key_challenges(n, n_ctx.bits)
+        ch = correct_key_challenges(n)
         for i in range(CORRECT_KEY_K):
             fr[b, i] = ch[i]
             fm[b, i] = minv
@@ -86,7 +119,9 @@ def correct_key_prove(n_ctx: ModCtx, phis) -> CorrectKeyProofBatch:
 
 
 def correct_key_verify(proof: CorrectKeyProofBatch, n_ctx: ModCtx) -> np.ndarray:
-    """-> bool ndarray [...] (all K challenges pass + no tiny factors)."""
+    """-> bool ndarray [...].  zk-paillier verify(): all K roots check AND
+    gcd(N, primorial(<6370)) == 1.  Attacker-controlled sigma values wider
+    than the modulus class are rejected up-front (False, never raise)."""
     shape = n_ctx.batch_shape
     rho = np.empty(shape + (CORRECT_KEY_K,), dtype=object)
     flat_n = n_ctx.n_ints.reshape(-1)
@@ -94,18 +129,27 @@ def correct_key_verify(proof: CorrectKeyProofBatch, n_ctx: ModCtx) -> np.ndarray
     small_ok = np.ones(flat_n.shape[0], dtype=bool)
     for b in range(flat_n.shape[0]):
         n = int(flat_n[b])
-        ch = correct_key_challenges(n, n_ctx.bits)
+        ch = correct_key_challenges(n)
         for i in range(CORRECT_KEY_K):
             fr[b, i] = ch[i]
-        for p in (2, 3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43, 47):
-            if n % p == 0:
-                small_ok[b] = False
+        if math.gcd(n, ALPHA_PRIMORIAL) != 1:
+            small_ok[b] = False
+    sigma = np.asarray(proof.sigma, dtype=object)
+    width_ok = np.ones(shape, dtype=bool)
+    n_b = np.broadcast_to(n_ctx.n_ints, shape)
+    for idx in np.ndindex(*shape):
+        for i in range(CORRECT_KEY_K):
+            s = int(sigma[idx + (i,)])
+            if s < 0 or s >= int(n_b[idx]):
+                width_ok[idx] = False
+                sigma = sigma.copy()
+                sigma[idx + (i,)] = 0
     exps = np.broadcast_to(
         n_ctx.n_ints[..., None], shape + (CORRECT_KEY_K,)
     )
-    back = n_ctx.expand(n_ctx.n_ints.ndim).pow(proof.sigma, exps, ebits_hint=n_ctx.bits)
+    back = n_ctx.expand(n_ctx.n_ints.ndim).pow(sigma, exps, ebits_hint=n_ctx.bits)
     ok = np.all(back == rho, axis=-1)
-    return ok & small_ok.reshape(shape)
+    return ok & small_ok.reshape(shape) & width_ok
 
 
 @dataclasses.dataclass
@@ -147,6 +191,20 @@ def composite_dlog_prove(
 def composite_dlog_verify(
     proof: CompositeDLogProofBatch, stmt: CompositeDLogStatementBatch
 ) -> np.ndarray:
+    # y is an attacker-controlled proof field: clamp before any device call
+    # so an oversized value fails verification instead of raising in the
+    # exponent-class ladder (ADVICE r1: never crash the verifier).
+    y = np.asarray(proof.y, dtype=object)
+    y_flat = y.reshape(-1) if y.shape else y.reshape(1)
+    y_ok_flat = np.array(
+        [0 <= int(v) < (1 << (_R_BITS + 300)) for v in y_flat.tolist()], dtype=bool
+    )
+    y_ok = y_ok_flat.reshape(y.shape)
+    if not y_ok.all():
+        y = y.copy().reshape(-1)
+        y[~y_ok_flat] = 0
+        y = y.reshape(y_ok.shape)
+        proof = CompositeDLogProofBatch(u=proof.u, y=y)
     e = _cdlog_challenge(stmt, proof.u)
     g_y = stmt.ctx.pow(stmt.g, proof.y, ebits_hint=_R_BITS + 300)
     ni_e = stmt.ctx.pow(stmt.ni, e, ebits_hint=256)
@@ -155,4 +213,4 @@ def composite_dlog_verify(
     out = np.empty(flat[0].shape[0], dtype=bool)
     for b in range(flat[0].shape[0]):
         out[b] = int(flat[0][b]) * int(flat[1][b]) % int(flat[2][b]) == int(flat[3][b])
-    return out.reshape(g_y.shape)
+    return out.reshape(g_y.shape) & np.broadcast_to(y_ok, g_y.shape)

@@ -20,7 +20,15 @@ from ..core.limbs import batch_from_limbs
 from ..ec import secp256k1 as dec
 from ..hashes.fiat_shamir import digest_rows, point_hash_ints
 from ..host import ec as hec
-from .range_proofs import DlogStatementBatch, PaillierCtxBatch, _invmod, _mulmod, obj_mod
+from .range_proofs import (
+    E_BITS,
+    DlogStatementBatch,
+    PaillierCtxBatch,
+    _clamp_exponents,
+    _invmod,
+    _mulmod,
+    obj_mod,
+)
 
 Q = hec.N
 Q3 = Q**3
@@ -67,7 +75,8 @@ def pdl_slack_prove(x_ints, r_ints, stmt: PDLwSlackStatementBatch, rng) -> PDLwS
     rho = rng.below(Q * n_t, shape)
     gamma = rng.below(Q3 * n_t, shape)
 
-    z = stmt.dlog.ctx.pow_prod([stmt.dlog.h1, stmt.dlog.h2], [x, rho])
+    tb = stmt.dlog.ctx.bits
+    z = stmt.dlog.pow_h1h2(x, rho, hints=(E_BITS, E_BITS + tb))
     u1_pt = dec.scalar_mul(dec.sc_from_ints(obj_mod(alpha, Q)), stmt.G_pt)
     u1x_l, u1y_l, _ = dec.to_affine(u1_pt)
     # keep object ndarrays even at 0-d (single-session runtime path)
@@ -76,10 +85,10 @@ def pdl_slack_prove(x_ints, r_ints, stmt: PDLwSlackStatementBatch, rng) -> PDLwS
     # (N+1)^alpha mod N^2 == 1 + alpha*N (binomial identity): host-side, free
     u2 = _mulmod(
         alpha * n + 1,
-        stmt.ek.nn_ctx.pow(beta, n),
+        stmt.ek.nn_ctx.pow(beta, n, ebits_hint=stmt.ek.n_ctx.bits),
         nn,
     )
-    u3 = stmt.dlog.ctx.pow_prod([stmt.dlog.h1, stmt.dlog.h2], [alpha, gamma])
+    u3 = stmt.dlog.pow_h1h2(alpha, gamma, hints=(768, 768 + tb))
 
     e = digest_rows(
         point_hash_ints(stmt.G_pt),
@@ -91,7 +100,7 @@ def pdl_slack_prove(x_ints, r_ints, stmt: PDLwSlackStatementBatch, rng) -> PDLwS
         u3,
     )
     s1 = e * x + alpha
-    s2 = _mulmod(stmt.ek.n_ctx.pow(r_ints, e), beta, n)
+    s2 = _mulmod(stmt.ek.n_ctx.pow(r_ints, e, ebits_hint=E_BITS), beta, n)
     s3 = e * rho + gamma
     return PDLwSlackProofBatch(z=z, u1_x=u1_x, u1_y=u1_y, u2=u2, u3=u3, s1=s1, s2=s2, s3=s3)
 
@@ -124,17 +133,21 @@ def pdl_slack_verify(proof: PDLwSlackProofBatch, stmt: PDLwSlackStatementBatch) 
     )
     u1_ok = np.asarray(dec.point_eq(u1_test, pts_from_xy(proof.u1_x, proof.u1_y)))
 
+    tb = stmt.dlog.ctx.bits
+    (s1, s3), width_ok = _clamp_exponents(
+        shape, (proof.s1, 776), (proof.s3, 768 + tb + 16)
+    )
     u2_test = _mulmod(
-        np.broadcast_to(np.asarray(proof.s1, dtype=object), shape) * n + 1,
-        stmt.ek.nn_ctx.pow(proof.s2, n),
-        _invmod(stmt.ek.nn_ctx.pow(stmt.ciphertext, e), nn),
+        s1 * n + 1,
+        stmt.ek.nn_ctx.pow(proof.s2, n, ebits_hint=stmt.ek.n_ctx.bits),
+        _invmod(stmt.ek.nn_ctx.pow(stmt.ciphertext, e, ebits_hint=E_BITS), nn),
         nn,
     )
     u3_test = _mulmod(
-        stmt.dlog.ctx.pow_prod([stmt.dlog.h1, stmt.dlog.h2], [proof.s1, proof.s3]),
-        _invmod(stmt.dlog.ctx.pow(proof.z, e), n_t),
+        stmt.dlog.pow_h1h2(s1, s3, hints=(776, 768 + tb + 16)),
+        _invmod(stmt.dlog.ctx.pow(proof.z, e, ebits_hint=E_BITS), n_t),
         n_t,
     )
     u2_ok = u2_test == np.broadcast_to(np.asarray(proof.u2, dtype=object), shape)
     u3_ok = u3_test == np.broadcast_to(np.asarray(proof.u3, dtype=object), shape)
-    return u1_ok & u2_ok & u3_ok
+    return u1_ok & u2_ok & u3_ok & width_ok

@@ -39,11 +39,19 @@ Q3 = Q**3
 
 @dataclasses.dataclass
 class DlogStatementBatch:
-    """(N_tilde, h1, h2) batch — the ring-Pedersen setup of each party."""
+    """(N_tilde, h1, h2) batch — the ring-Pedersen setup of each party.
+
+    `tables` optionally holds fixed-base window tables (T1, T2) for h1/h2
+    ([nw, 16, ...batch, L] device arrays, see ModCtx.make_tables): h1/h2 are
+    fixed for the life of a key, so every ring-Pedersen commitment in the
+    MtA range proofs / PDLwSlack (range_proofs.rs:58-67,145-156) can run
+    with ZERO squarings.  Build once on the root statement (ensure_tables)
+    before any expand/take — derived views inherit the tables."""
 
     ctx: ModCtx               # N_tilde moduli
     h1: np.ndarray
     h2: np.ndarray
+    tables: tuple | None = None   # (T1, T2), batch dims at positions 2..-2
 
     @classmethod
     def from_ints(cls, n_tildes, h1s, h2s, bits: int = 2048):
@@ -53,27 +61,79 @@ class DlogStatementBatch:
             h2=np.asarray(h2s, dtype=object),
         )
 
+    _TABLE_MAX_BASES = 64  # tables cost ~18 MB per base at 2048-bit
+
+    def ensure_tables(self) -> "DlogStatementBatch":
+        """Build the h1/h2 fixed-base tables (idempotent, one device launch).
+        max_ebits covers the widest ring-Pedersen exponent: gamma/tau/s2/t2
+        < Q^3 * N_tilde plus response slack.
+
+        Only worthwhile (and only affordable) when the statement batch is a
+        small set of long-lived setups — the production pattern: one signer
+        group's [1, n] statements serving thousands of sessions.  For large
+        all-distinct batches this is a no-op and callers fall back to the
+        shared-squaring pow_prod path."""
+        if self.tables is None:
+            nstat = int(np.prod(self.ctx.batch_shape)) if self.ctx.batch_shape else 1
+            if nstat > self._TABLE_MAX_BASES:
+                return self
+            stacked = np.stack(
+                [np.broadcast_to(self.h1, self.ctx.batch_shape),
+                 np.broadcast_to(self.h2, self.ctx.batch_shape)]
+            )
+            tab = self.ctx.make_tables(stacked, max_ebits=768 + self.ctx.bits + 16)
+            self.tables = (tab[:, :, 0], tab[:, :, 1])
+        return self
+
+    def pow_h1h2(self, e1, e2, hints) -> np.ndarray:
+        """h1^e1 * h2^e2 mod N_tilde — fixed-base path when tables exist.
+        hints (required) are exponent bit-widths from the sampling domain /
+        clamped field width, never measured from values (ADVICE r1)."""
+        if self.tables is not None:
+            return self.ctx.pow_fixed_prod(self.tables, [e1, e2], hints)
+        return self.ctx.pow_prod([self.h1, self.h2], [e1, e2], ebits_hints=hints)
+
     def take(self, indices, axis: int) -> "DlogStatementBatch":
+        import jax.numpy as jnp
+
         return DlogStatementBatch(
             ctx=self.ctx.take(indices, axis),
             h1=np.take(self.h1, indices, axis=axis),
             h2=np.take(self.h2, indices, axis=axis),
+            tables=None if self.tables is None else tuple(
+                jnp.take(T, jnp.asarray(indices), axis=2 + axis) for T in self.tables
+            ),
         )
 
     def expand(self, axis: int) -> "DlogStatementBatch":
+        import jax.numpy as jnp
+
         return DlogStatementBatch(
             ctx=self.ctx.expand(axis),
             h1=np.expand_dims(self.h1, axis),
             h2=np.expand_dims(self.h2, axis),
+            tables=None if self.tables is None else tuple(
+                jnp.expand_dims(T, 2 + axis) for T in self.tables
+            ),
         )
 
     def swapped(self) -> "DlogStatementBatch":
         """(N, g=h2, ni=h1) — the base_h2 statement of gg20 keygen."""
-        return DlogStatementBatch(ctx=self.ctx, h1=self.h2, h2=self.h1)
+        return DlogStatementBatch(
+            ctx=self.ctx, h1=self.h2, h2=self.h1,
+            tables=None if self.tables is None else (self.tables[1], self.tables[0]),
+        )
 
     def tile(self, S: int) -> "DlogStatementBatch":
+        # tables keep their size-1 sessions axis: materializing S copies of
+        # a ~35 MB table would blow HBM; they broadcast in-kernel instead.
         tile_np = lambda a: np.broadcast_to(a, (S,) + a.shape[1:]).copy()
-        return DlogStatementBatch(ctx=self.ctx.tile(S), h1=tile_np(self.h1), h2=tile_np(self.h2))
+        return DlogStatementBatch(
+            ctx=self.ctx.tile(S),
+            h1=tile_np(self.h1),
+            h2=tile_np(self.h2),
+            tables=self.tables,
+        )
 
 
 @dataclasses.dataclass
@@ -143,6 +203,31 @@ def pts_from_xy(xs, ys):
     return dec.Point(rs(P.X), rs(P.Y), rs(P.Z))
 
 
+E_BITS = 256  # Fiat-Shamir challenge width (SHA-256)
+
+
+def _clamp_exponents(shape, *pairs):
+    """Police attacker-controlled proof fields before any device call.
+
+    pairs: (array, max_bits).  Returns ([clamped...], ok_mask): any field
+    that is negative or wider than max_bits is zeroed and its row marked
+    failed — the verifier returns False instead of crashing in the
+    exponent-class ladder (ADVICE r1)."""
+    ok = np.ones(shape, dtype=bool)
+    ok_flat = ok.reshape(-1)
+    outs = []
+    for arr, mb in pairs:
+        a = np.broadcast_to(np.asarray(arr, dtype=object), shape).copy()
+        flat = a.reshape(-1)
+        for i, v in enumerate(flat.tolist()):
+            v = int(v)
+            if v < 0 or v.bit_length() > mb:
+                flat[i] = 0
+                ok_flat[i] = False
+        outs.append(a)
+    return outs, ok
+
+
 def _invmod(a, mod) -> np.ndarray:
     a = np.asarray(a, dtype=object)
     mod = np.asarray(mod, dtype=object)
@@ -177,15 +262,16 @@ def alice_prove(a_ints, cipher, ek: PaillierCtxBatch, stmt: DlogStatementBatch, 
     gamma = rng.below(Q3 * n_t, shape)
     rho = rng.below(Q * n_t, shape)
 
-    z = stmt.ctx.pow_prod([stmt.h1, stmt.h2], [a, rho])
-    beta_n = ek.nn_ctx.pow(beta, np.broadcast_to(ek.n, shape))
+    tb = stmt.ctx.bits  # N_tilde width: sampling-domain exponent hints
+    z = stmt.pow_h1h2(a, rho, hints=(E_BITS, E_BITS + tb))
+    beta_n = ek.nn_ctx.pow(beta, np.broadcast_to(ek.n, shape), ebits_hint=ek.n_ctx.bits)
     u = _mulmod(alpha * np.broadcast_to(ek.n, shape) + 1, beta_n, np.broadcast_to(ek.nn, shape))
-    w = stmt.ctx.pow_prod([stmt.h1, stmt.h2], [alpha, gamma])
+    w = stmt.pow_h1h2(alpha, gamma, hints=(768, 768 + tb))
 
     gen = np.broadcast_to(ek.n, shape) + 1
     e = digest_rows(np.broadcast_to(ek.n, shape), gen, cipher, z, u, w)
 
-    s = _mulmod(ek.n_ctx.pow(r_ints, e), beta, np.broadcast_to(ek.n, shape))
+    s = _mulmod(ek.n_ctx.pow(r_ints, e, ebits_hint=E_BITS), beta, np.broadcast_to(ek.n, shape))
     s1 = e * a + alpha
     s2 = e * rho + gamma
     return AliceProofBatch(z=z, e=e, s=s, s1=s1, s2=s2)
@@ -202,23 +288,29 @@ def alice_verify(proof: AliceProofBatch, cipher, ek: PaillierCtxBatch, stmt: Dlo
     range_ok = np.vectorize(lambda v: int(v) <= Q3, otypes=[bool])(
         np.broadcast_to(np.asarray(proof.s1, dtype=object), shape)
     )
+    tb = stmt.ctx.bits
+    (e, s1, s2), width_ok = _clamp_exponents(
+        shape, (proof.e, E_BITS), (proof.s1, 776), (proof.s2, 768 + tb + 16)
+    )
 
-    z_e = stmt.ctx.pow(proof.z, proof.e)
+    z_e = stmt.ctx.pow(proof.z, e, ebits_hint=E_BITS)
     w = _mulmod(
-        stmt.ctx.pow_prod([stmt.h1, stmt.h2], [proof.s1, proof.s2]),
+        stmt.pow_h1h2(s1, s2, hints=(776, 768 + tb + 16)),
         _invmod(z_e, n_t),
         n_t,
     )
-    s_n = ek.nn_ctx.pow(proof.s, n)
-    c_e = ek.nn_ctx.pow(cipher, proof.e)
+    s_n = ek.nn_ctx.pow(proof.s, n, ebits_hint=ek.n_ctx.bits)
+    c_e = ek.nn_ctx.pow(cipher, e, ebits_hint=E_BITS)
     u = _mulmod(
-        np.broadcast_to(np.asarray(proof.s1, dtype=object), shape) * n + 1,
+        s1 * n + 1,
         s_n,
         _invmod(c_e, nn),
         nn,
     )
     e_check = digest_rows(n, n + 1, cipher, proof.z, u, w)
-    return range_ok & (e_check == np.broadcast_to(np.asarray(proof.e, dtype=object), shape))
+    return range_ok & width_ok & (
+        e_check == np.broadcast_to(np.asarray(proof.e, dtype=object), shape)
+    )
 
 
 @dataclasses.dataclass
@@ -262,12 +354,14 @@ def bob_prove(
     sigma = rng.below(Q * n_t, shape)
     tau = rng.below(Q3 * n_t, shape)
 
-    z = stmt.ctx.pow_prod([stmt.h1, stmt.h2], [b_arr, rho])
-    z_prim = stmt.ctx.pow_prod([stmt.h1, stmt.h2], [alpha, rho_prim])
-    t = stmt.ctx.pow_prod([stmt.h1, stmt.h2], [beta_prim, sigma])
-    w = stmt.ctx.pow_prod([stmt.h1, stmt.h2], [gamma, tau])
+    tb = stmt.ctx.bits
+    pb = ek.n_ctx.bits
+    z = stmt.pow_h1h2(b_arr, rho, hints=(E_BITS, E_BITS + tb))
+    z_prim = stmt.pow_h1h2(alpha, rho_prim, hints=(768, 768 + tb))
+    t = stmt.pow_h1h2(beta_prim, sigma, hints=(pb, E_BITS + tb))
+    w = stmt.pow_h1h2(gamma, tau, hints=(512 + pb, 768 + tb))
     v = _mulmod(
-        ek.nn_ctx.pow_prod([a_enc, beta], [alpha, n]),
+        ek.nn_ctx.pow_prod([a_enc, beta], [alpha, n], ebits_hints=(768, pb)),
         gamma * n + 1,
         nn,
     )
@@ -289,7 +383,7 @@ def bob_prove(
                       u_x, u_y]
     e = digest_rows(*hash_cols)
 
-    s = _mulmod(ek.n_ctx.pow(r_ints, e), beta, n)
+    s = _mulmod(ek.n_ctx.pow(r_ints, e, ebits_hint=E_BITS), beta, n)
     s1 = e * b_arr + alpha
     s2 = e * rho + rho_prim
     t1 = e * np.broadcast_to(np.asarray(beta_prim, dtype=object), shape) + gamma
@@ -313,27 +407,38 @@ def bob_verify(
     range_ok = np.vectorize(lambda v: int(v) <= Q3, otypes=[bool])(
         np.broadcast_to(np.asarray(proof.s1, dtype=object), shape)
     )
+    tb = stmt.ctx.bits
+    pb = ek.n_ctx.bits
+    (e, s1, s2, t1, t2), width_ok = _clamp_exponents(
+        shape,
+        (proof.e, E_BITS),
+        (proof.s1, 776),
+        (proof.s2, 768 + tb + 16),
+        (proof.t1, 512 + pb + 16),
+        (proof.t2, 768 + tb + 16),
+    )
 
     # z^e and t^e share modulus + exponent width: one stacked launch
     ze_te = stmt.ctx.pow(
         np.stack([np.broadcast_to(proof.z, shape), np.broadcast_to(proof.t, shape)]),
-        np.broadcast_to(proof.e, (2,) + shape),
+        np.broadcast_to(e, (2,) + shape),
+        ebits_hint=E_BITS,
     )
     z_e, t_e = ze_te[0], ze_te[1]
     z_prim = _mulmod(
-        stmt.ctx.pow_prod([stmt.h1, stmt.h2], [proof.s1, proof.s2]),
+        stmt.pow_h1h2(s1, s2, hints=(776, 768 + tb + 16)),
         _invmod(z_e, n_t),
         n_t,
     )
-    mta_e = ek.nn_ctx.pow(mta_enc, proof.e)
+    mta_e = ek.nn_ctx.pow(mta_enc, e, ebits_hint=E_BITS)
     v = _mulmod(
-        ek.nn_ctx.pow_prod([a_enc, proof.s], [proof.s1, n]),
-        np.broadcast_to(np.asarray(proof.t1, dtype=object), shape) * n + 1,
+        ek.nn_ctx.pow_prod([a_enc, proof.s], [s1, n], ebits_hints=(776, pb)),
+        t1 * n + 1,
         _invmod(mta_e, nn),
         nn,
     )
     w = _mulmod(
-        stmt.ctx.pow_prod([stmt.h1, stmt.h2], [proof.t1, proof.t2]),
+        stmt.pow_h1h2(t1, t2, hints=(512 + pb + 16, 768 + tb + 16)),
         _invmod(t_e, n_t),
         n_t,
     )
@@ -354,7 +459,12 @@ def bob_verify(
         rhs = dec.point_add(dec.scalar_mul(dec.sc_from_ints(e_mod), X_dev), u_dev)
         wc_ok = np.asarray(dec.point_eq(s1_pts, rhs))
     e_check = digest_rows(*hash_cols)
-    return range_ok & wc_ok & (e_check == np.broadcast_to(np.asarray(proof.e, dtype=object), shape))
+    return (
+        range_ok
+        & width_ok
+        & wc_ok
+        & (e_check == np.broadcast_to(np.asarray(proof.e, dtype=object), shape))
+    )
 
 
 def obj_mod(x, m) -> np.ndarray:

@@ -1,0 +1,76 @@
+"""Differential tests for the RNS Montgomery modexp kernel (core/rns.py) —
+the MXU path.  Checked against python pow() over random and edge inputs,
+both dot implementations, per-session moduli, and the production width."""
+
+import random
+
+import numpy as np
+import pytest
+
+import tpu_mpc.core.rns as rns
+from tpu_mpc.core.rns import RnsCtx, RnsParams, rns_exp
+
+
+@pytest.fixture(autouse=True)
+def _restore_dot():
+    prev = rns.DOT_IMPL
+    yield
+    rns.DOT_IMPL = prev
+
+
+def _moduli(r, bits, B):
+    return np.asarray(
+        [(r.getrandbits(bits) | (1 << (bits - 1)) | 1) for _ in range(B)], dtype=object
+    )
+
+
+@pytest.mark.parametrize("dot", ["s8", "f32"])
+def test_rns_exp_differential_256(dot):
+    rns.DOT_IMPL = dot
+    r = random.Random(0xA1)
+    bits, B = 256, 4
+    ns = _moduli(r, bits, B)
+    ctx = RnsCtx.from_ints(ns, bits)
+    xs = np.asarray([r.getrandbits(bits) % int(n) for n in ns], dtype=object)
+    es = np.asarray([r.getrandbits(256) for _ in range(B)], dtype=object)
+    es[0] = 0  # exponent-zero edge
+    xs[1] = 0  # base-zero edge
+    got = rns_exp(ctx, ns, xs, es, 256)
+    for g, x, e, n in zip(got, xs, es, ns):
+        assert int(g) == pow(int(x), int(e), int(n))
+
+
+def test_rns_exp_wide_exponent_512():
+    r = random.Random(0xB2)
+    bits, B = 512, 3
+    ns = _moduli(r, bits, B)
+    ctx = RnsCtx.from_ints(ns, bits)
+    xs = np.asarray([r.getrandbits(bits) % int(n) for n in ns], dtype=object)
+    es = np.asarray(
+        [(1 << 512) - 1, (1 << 511) | 1, r.getrandbits(64)], dtype=object
+    )  # all-ones / top-bit edges
+    got = rns_exp(ctx, ns, xs, es, 512)
+    for g, x, e, n in zip(got, xs, es, ns):
+        assert int(g) == pow(int(x), int(e), int(n))
+
+
+def test_rns_params_margins():
+    for bits in (256, 512, 1024, 2048):
+        par = RnsParams(bits)
+        assert par.MA > 4 * (par.K + 2) << bits
+        assert par.MB > par.lam << bits
+        assert int(par.rA.max()) < (1 << 13) and int(par.rB.max()) < (1 << 13)
+
+
+@pytest.mark.slow
+def test_rns_exp_production_width():
+    """2048-bit modulus, 2048-bit exponent — the Paillier hot class."""
+    r = random.Random(0xC3)
+    bits, B = 2048, 2
+    ns = _moduli(r, bits, B)
+    ctx = RnsCtx.from_ints(ns, bits)
+    xs = np.asarray([r.getrandbits(bits) % int(n) for n in ns], dtype=object)
+    es = np.asarray([r.getrandbits(2048) for _ in range(B)], dtype=object)
+    got = rns_exp(ctx, ns, xs, es, 2048)
+    for g, x, e, n in zip(got, xs, es, ns):
+        assert int(g) == pow(int(x), int(e), int(n))

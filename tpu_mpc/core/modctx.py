@@ -35,6 +35,22 @@ PROFILE = bool(int(os.environ.get("TPU_MPC_PROFILE", "0")))
 PROFILE_LOG: list[tuple] = []  # (kind, flat_batch, mod_bits, ebits, seconds)
 
 
+def prof_call(kind: str, batch: int, bits: int, fn):
+    """PROFILE-mode helper for non-modexp launches (EC, decrypt): time the
+    call with a blocking sync so async dispatch is attributed correctly."""
+    if not PROFILE:
+        return fn()
+    import jax
+
+    t0 = time.perf_counter()
+    out = fn()
+    jax.tree_util.tree_map(
+        lambda a: a.block_until_ready() if hasattr(a, "block_until_ready") else a, out
+    )
+    PROFILE_LOG.append((kind, batch, bits, "-", time.perf_counter() - t0))
+    return out
+
+
 def profile_summary(reset: bool = True) -> str:
     rows = {}
     for kind, b, bits, ebs, dt in PROFILE_LOG:

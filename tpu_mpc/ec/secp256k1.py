@@ -307,10 +307,12 @@ def _canon_unflatten(arr, batch):
 
 def scalar_mul(k, p: Point) -> Point:
     """k * P, batched, with canonical batch shapes (see above)."""
+    from ..core.modctx import prof_call
+
     batch = jnp.broadcast_shapes(k.shape[:-1], p.X.shape[:-1])
     kf = _canon_flatten(k, batch)
     pf = Point(*(_canon_flatten(c, batch) for c in p))
-    out = _scalar_mul_jit(kf, pf)
+    out = prof_call("ec:smul", kf.shape[0], 256, lambda: _scalar_mul_jit(kf, pf))
     return Point(*(_canon_unflatten(c, batch) for c in out))
 
 
@@ -379,10 +381,12 @@ def _mul_generator_comb(k, tX, tY, tZ):
 def mul_generator(k):
     """k * G via the fixed-base comb (zero doublings; the generic-ladder
     fallback was VERDICT r1 weak-item 2)."""
+    from ..core.modctx import prof_call
+
     batch = k.shape[:-1]
     kf = _canon_flatten(k, batch)
     tX, tY, tZ = _gen_comb_table()
-    out = _mul_generator_comb(kf, tX, tY, tZ)
+    out = prof_call("ec:mulG", kf.shape[0], 256, lambda: _mul_generator_comb(kf, tX, tY, tZ))
     return Point(*(_canon_unflatten(c, batch) for c in out))
 
 
@@ -485,7 +489,12 @@ def point_sum(p: Point, axis: int) -> Point:
 
 def points_to_host(p: Point):
     """Device point batch -> nested python affine tuples (None = infinity)."""
-    x, y, inf = to_affine(p)
+    from ..core.modctx import prof_call
+
+    x, y, inf = prof_call(
+        "ec:affine", int(np.prod(p.X.shape[:-1])) if p.X.ndim > 1 else 1, 256,
+        lambda: to_affine(p),
+    )
     xs = batch_from_limbs(np.asarray(x))
     ys = batch_from_limbs(np.asarray(y))
     infs = np.asarray(inf)

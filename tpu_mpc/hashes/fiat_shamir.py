@@ -47,7 +47,12 @@ def point_hash_ints_many(*Ps: ec.Point) -> list:
             for c in ("X", "Y", "Z")
         )
     )
-    x, y, inf = ec.to_affine(stacked)
+    from ..core.modctx import prof_call
+
+    x, y, inf = prof_call(
+        "ec:hashpts", len(Ps) * (int(np.prod(batch)) if batch else 1), 256,
+        lambda: ec.to_affine(stacked),
+    )
     xs = np.asarray(x)
     parity = (np.asarray(y[..., 0]) & 1).astype(np.uint8)  # limb 0 LSB = y parity
     infs = np.asarray(inf)

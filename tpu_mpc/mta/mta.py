@@ -80,7 +80,9 @@ def paillier_decrypt_ints(dk: dp.BatchDecryptionKey, c, batch_shape, bits: int =
     c_l = jnp.asarray(batch_to_limbs(c, LL))
     cf = _flatten_pad(c_l, batch_shape)
     dkf = _canon_tree(dk, batch_shape)
-    out = dp.decrypt(dkf, cf)
+    from ..core.modctx import prof_call
+
+    out = prof_call("decrypt", cf.shape[0], bits, lambda: dp.decrypt(dkf, cf))
     lead = int(np.prod(batch_shape)) if batch_shape else 1
     res = batch_from_limbs(np.asarray(out[:lead]))
     return res.reshape(batch_shape) if batch_shape else res

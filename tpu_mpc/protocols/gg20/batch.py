@@ -108,10 +108,21 @@ class KeygenResult20:
     bad_actors: np.ndarray
 
 
-def keygen(S: int, t: int, n: int, rng: SessionRng, paillier_bits: int = 2048) -> KeygenResult20:
+def keygen(
+    S: int, t: int, n: int, rng: SessionRng, paillier_bits: int = 2048,
+    corrupt: dict | None = None,
+) -> KeygenResult20:
     u = rng.scalars((S, n))
     y_i = dec.mul_generator(_sc(u))
     p_fac, q_fac = gen_paillier_batch(S, n, paillier_bits, rng)
+    if corrupt and corrupt.get("small_paillier"):
+        # fault injection: a party presents an undersized Paillier modulus —
+        # its proofs are honest for that key, so ONLY the bit-length policy
+        # must catch it (test_small_paillier, gg_2020/test.rs:764-783)
+        for pi in corrupt["small_paillier"]:
+            for s in range(S):
+                p_fac[s, pi] = primes.gen_prime(paillier_bits // 4, rng._r)
+                q_fac[s, pi] = primes.gen_prime(paillier_bits // 4, rng._r)
     ns = p_fac * q_fac
     ek = PaillierCtxBatch.from_ints(ns, paillier_bits)
     dk = dp.BatchDecryptionKey.from_ints(p_fac, q_fac, paillier_bits)

@@ -106,6 +106,11 @@ def _flatten_pad(a, batch_shape):
     return _mesh.shard_flat(flat)
 
 
+# RNS backend for plain pow (core/rns.py, MXU path): opt-in via env while
+# the CIOS kernel remains the default; pow_prod/pow_fixed_prod stay CIOS.
+USE_RNS = bool(int(os.environ.get("TPU_MPC_RNS", "0")))
+
+
 @dataclasses.dataclass
 class ModCtx:
     """A batch of moduli: host ints [..] + device MontCtx (limbs [.., L])."""
@@ -113,6 +118,14 @@ class ModCtx:
     n_ints: np.ndarray            # object ndarray of python ints
     ctx: MontCtx
     bits: int
+    _rns: object = None           # lazy RnsCtx (only if USE_RNS)
+
+    def rns_ctx(self):
+        if self._rns is None:
+            from .rns import RnsCtx
+
+            self._rns = RnsCtx.from_ints(self.n_ints, self.bits)
+        return self._rns
 
     @classmethod
     def from_ints(cls, ns, bits: int) -> "ModCtx":
@@ -170,6 +183,17 @@ class ModCtx:
             flat = expv.reshape(-1)
             ebits_hint = max((int(v).bit_length() for v in flat.tolist()), default=1)
         eb = ebits_class(max(ebits_hint, 1))
+        if USE_RNS:
+            from . import rns
+
+            t0 = time.perf_counter() if PROFILE else 0.0
+            res = rns.rns_exp(self.rns_ctx(), self.n_ints, base, expv, eb)
+            if PROFILE:
+                PROFILE_LOG.append(
+                    ("pow_rns", int(np.prod(shape)) if shape else 1, self.bits, eb,
+                     time.perf_counter() - t0)
+                )
+            return res
         L = nlimbs(self.bits)
         Le = nlimbs(eb)
         x = jnp.asarray(batch_to_limbs(np.mod(base, np.broadcast_to(self.n_ints, shape)), L))

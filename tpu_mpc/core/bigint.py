@@ -85,22 +85,21 @@ def mul_cols(a, b):
     batch = jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1])
     out = jnp.zeros(batch + (La + Lb,), dtype=U32)
     if La <= 32:
-        # outer product + static-index gather: c[k] = sum_i P[i, k-i].
-        # Wrapped negative indices land in the zero padding, so no mask is
-        # needed.  Trace is a handful of ops (vs an unrolled slice loop),
-        # and the TPU gets one wide fused product instead of La updates.
+        # outer product + unrolled static-pad alignment: c[k] = sum_i P[i, k-i].
+        # Static pads + adds lower to plain vector ops on TPU; the previous
+        # take_along_axis diagonal gather lowered to a per-element gather that
+        # made every fe_mul ~100x slower than the arithmetic itself (the r2
+        # bench spent 589s of a 630s signing pass inside EC scalar-muls).
         K = La + Lb
         P = a[..., :, None] * b[..., None, :]             # [..., La, Lb] exact
-        lo = jnp.pad(P & LIMB_MASK, [(0, 0)] * (P.ndim - 1) + [(0, K - Lb)])
-        hi = jnp.pad(P >> LIMB_BITS, [(0, 0)] * (P.ndim - 1) + [(0, K - Lb)])
-        i_idx = jnp.arange(La)[:, None]
-        k_idx = jnp.arange(K)[None, :]
-        idx_lo = (k_idx - i_idx) % K                      # static [La, K]
-        idx_hi = (k_idx - i_idx - 1) % K
-        shape = lo.shape[:-2] + (La, K)
-        g_lo = jnp.take_along_axis(lo, jnp.broadcast_to(idx_lo, shape), axis=-1)
-        g_hi = jnp.take_along_axis(hi, jnp.broadcast_to(idx_hi, shape), axis=-1)
-        return jnp.sum(g_lo, axis=-2) + jnp.sum(g_hi, axis=-2)
+        lo = P & LIMB_MASK
+        hi = P >> LIMB_BITS
+        nb = [(0, 0)] * (P.ndim - 2)
+        acc = jnp.zeros(P.shape[:-2] + (K,), dtype=U32)
+        for i in range(La):
+            acc = acc + jnp.pad(lo[..., i, :], nb + [(i, K - Lb - i)])
+            acc = acc + jnp.pad(hi[..., i, :], nb + [(i + 1, K - Lb - i - 1)])
+        return acc
 
     def body(i, acc):
         ai = lax.dynamic_index_in_dim(a, i, axis=-1, keepdims=True)

@@ -47,6 +47,8 @@ def _pt_host(P):
 
 
 class Gg20Keygen(StateMachine):
+    # rounds: 1 bc (com+proofs), 2 bc (decommit), 3 p2p (VSS share), 4 bc (dlog)
+    ROUND_KINDS = {1: "bc", 2: "bc", 3: "p2p", 4: "bc"}
     """i: 1-based party index; t, n: threshold params (Keygen::new,
     state_machine/keygen.rs:56-82)."""
 

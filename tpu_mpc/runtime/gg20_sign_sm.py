@@ -73,6 +73,9 @@ def _dlog_from_wire(d, batch=None):
 
 
 class Gg20OfflineStage(StateMachine):
+    # OfflineStageProgress cells (fmt.rs:40-45): R1 bc, R2 p2p (2x MessageB
+    # per peer), R3-R6 bc
+    ROUND_KINDS = {1: "bc", 2: "p2p", 3: "bc", 4: "bc", 5: "bc", 6: "bc"}
     def __init__(self, local_i: int, s_l: list[int], local_key: dict,
                  rng: SessionRng | None = None):
         tp = len(s_l)

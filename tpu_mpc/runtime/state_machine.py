@@ -117,22 +117,28 @@ class StateMachine(abc.ABC):
     def round_timeout(self) -> Optional[float]:
         return None  # matches the reference (keygen.rs:291-297)
 
+    # subclasses override to label each round's message kind, matching
+    # OfflineStageProgress's from_broadcast/from_p2p cells (fmt.rs:40-45)
+    ROUND_KINDS: dict[int, str] = {}
+
     def __repr__(self) -> str:
         """Human-readable round progress (OfflineStageProgress,
-        state_machine/sign/fmt.rs:11-126): one `[bc k/n-1]` cell per round
-        store — `*` marks the current round, `-` a not-yet-reached one."""
+        state_machine/sign/fmt.rs:11-126): one `[bc|p2p k/n-1]` cell per
+        round store — `*` marks the current round, `[-]` a not-yet-reached
+        one — plus the outgoing-queue length (fmt.rs:46-48)."""
         cells = []
         for r in range(1, self.num_rounds + 1):
             got = len(self.stores[r].msgs)
+            kind = self.ROUND_KINDS.get(r, "bc")
             mark = "*" if r == self.current_round else ""
             cells.append(
-                f"[bc {got}/{self.party_n - 1}]{mark}" if r <= self.current_round or got
+                f"[{kind} {got}/{self.party_n - 1}]{mark}" if r <= self.current_round or got
                 else "[-]"
             )
         state = "finished" if self.is_finished() else f"round {self.current_round}"
         return (
             f"<{type(self).__name__} party {self.party_i}/{self.party_n} "
-            f"{state} {' '.join(cells)}>"
+            f"{state} {' '.join(cells)} queue={len(self.message_queue)}>"
         )
 
     # -- helpers -------------------------------------------------------------

@@ -29,11 +29,20 @@ BASELINE_SIG_PER_SEC_EST = 60.0  # reference est., 16-core host (see docstring)
 # env set but config None) — set the config explicitly.
 import jax  # noqa: E402
 
-jax.config.update(
-    "jax_compilation_cache_dir",
-    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
-)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# BENCH_PLATFORM=cpu: debug/profile runs off-TPU.  The env-var spelling
+# (JAX_PLATFORMS) does not bind in this build and the axon plugin ignores it,
+# so go through jax.config like tests/conftest.py does.
+if os.environ.get("BENCH_PLATFORM"):
+    jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
+
+if os.environ.get("BENCH_PLATFORM", "") != "cpu":
+    # persistent cache only on the TPU path: on CPU this build's cache makes
+    # compiles pathologically slow (see tests/conftest.py).
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 def main():
@@ -48,10 +57,20 @@ def main():
 
     rng = SessionRng(0xBE7C)
 
-    # one 2-of-3 key set, tiled across S sessions
-    kg = gg20.keygen(1, 1, 3, rng, paillier_bits=bits)
-    assert kg.ok.all(), "keygen failed"
-    key1 = kg.key
+    # one 2-of-3 key set, tiled across S sessions.  Keygen is deterministic
+    # under the pinned SessionRng seed, so the generated key is cached as
+    # ints on disk: the driver's bench run skips ~3 min of safe-prime
+    # generation + keygen-kernel compiles and starts at the signing pipeline.
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         f"benches/bench_key_{bits}.json")
+    key1 = _load_key(cache)
+    if key1 is None:
+        kg = gg20.keygen(1, 1, 3, rng, paillier_bits=bits)
+        assert kg.ok.all(), "keygen failed"
+        key1 = kg.key
+        _save_key(cache, key1)
+    # (cache hit: signing just draws from the fresh stream — any valid
+    # randomness is equivalent for throughput measurement)
     key = _tile_key(key1, S)
     sys.stderr.write(f"keygen+tile done in {time.time()-t0:.1f}s\n")
 
@@ -89,6 +108,76 @@ def main():
                 "vs_baseline": round(sig_per_sec / BASELINE_SIG_PER_SEC_EST, 3),
             }
         )
+    )
+
+
+def _save_key(path, key1):
+    """Persist an S=1 LocalKeyBatch20 as plain ints (see cache note in main)."""
+    import json
+
+    import numpy as np
+
+    from tpu_mpc.ec import secp256k1 as dec
+
+    E = lambda a: np.vectorize(int, otypes=[object])(
+        np.asarray(a, dtype=object)
+    ).tolist()
+    obj = {
+        "t": key1.t, "n": key1.n, "bits": key1.paillier_bits,
+        "p": E(key1.p), "q": E(key1.q),
+        "nt": E(key1.dlog_stmt.ctx.n_ints),
+        "h1": E(key1.dlog_stmt.h1), "h2": E(key1.dlog_stmt.h2),
+        "u": E(key1.u), "x": E(key1.x),
+        "y_i": dec.points_to_host_list(key1.y_i),
+        "vss": dec.points_to_host_list(key1.vss.commitments),
+    }
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        json.dump(obj, f)
+
+
+def _tuplify_pts(v):
+    """JSON lists -> the (x, y)-tuple / None leaves points_from_host expects."""
+    if v is None:
+        return None
+    if isinstance(v, list) and len(v) == 2 and isinstance(v[0], int):
+        return (v[0], v[1])
+    return [_tuplify_pts(e) for e in v]
+
+
+def _load_key(path):
+    if not os.path.exists(path):
+        return None
+    import json
+
+    import numpy as np
+
+    from tpu_mpc.ec import secp256k1 as dec
+    from tpu_mpc.paillier import paillier as dp
+    from tpu_mpc.protocols.gg20.batch import LocalKeyBatch20
+    from tpu_mpc.vss import feldman
+    from tpu_mpc.zk.range_proofs import DlogStatementBatch, PaillierCtxBatch
+
+    with open(path) as f:
+        d = json.load(f)
+    A = lambda v: np.asarray(v, dtype=object)
+    p, q, bits = A(d["p"]), A(d["q"]), d["bits"]
+    ns = p * q
+    y_i = dec.points_from_host(_tuplify_pts(d["y_i"]))
+    stmt = DlogStatementBatch.from_ints(A(d["nt"]), A(d["h1"]), A(d["h2"]), bits)
+    stmt.ensure_tables()
+    return LocalKeyBatch20(
+        S=1, t=d["t"], n=d["n"], paillier_bits=bits,
+        p=p, q=q,
+        ek=PaillierCtxBatch.from_ints(ns, bits),
+        dk=dp.BatchDecryptionKey.from_ints(p, q, bits),
+        dlog_stmt=stmt,
+        u=A(d["u"]), x=A(d["x"]),
+        y=dec.point_sum(y_i, axis=1), y_i=y_i,
+        vss=feldman.VssSchemeBatch(
+            t=d["t"], n=d["n"],
+            commitments=dec.points_from_host(_tuplify_pts(d["vss"])),
+        ),
     )
 
 

@@ -14,6 +14,10 @@ import random
 import sys
 import time
 
+# make `tpu_mpc` importable when invoked as `python benches/modexp_bench.py`
+# (PYTHONPATH can't be used: it breaks the axon TPU plugin's registration)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import jax as _jax
 
 _jax.config.update(
@@ -56,13 +60,20 @@ def main():
             try:
                 if backend == "cios":
                     ctx = MontCtx.from_ints([n_int] * B, bits)
+                    # one distinct exponent batch per rep: the tunnel/runtime
+                    # may short-circuit byte-identical launches, which made
+                    # repeated same-input timing read as ~0s
+                    eds = [
+                        jnp.asarray(batch_to_limbs(es ^ (k + 1), Le))
+                        for k in range(args.reps)
+                    ]
                     xd = jnp.asarray(batch_to_limbs(xs, L))
-                    ed = jnp.asarray(batch_to_limbs(es, Le))
-                    out = mont_exp(xd, ed, ctx, ebits=ebits)  # compile
+                    out = mont_exp(xd, jnp.asarray(batch_to_limbs(es, Le)), ctx,
+                                   ebits=ebits)  # compile
                     out.block_until_ready()
                     t0 = time.perf_counter()
-                    for _ in range(args.reps):
-                        out = mont_exp(xd, ed, ctx, ebits=ebits)
+                    for k in range(args.reps):
+                        out = mont_exp(xd, eds[k], ctx, ebits=ebits)
                         out.block_until_ready()
                     dt = (time.perf_counter() - t0) / args.reps
                     from tpu_mpc.core.limbs import batch_from_limbs
@@ -73,8 +84,8 @@ def main():
                     ctx = RnsCtx.from_ints(np.asarray([n_int] * B, dtype=object), bits)
                     got_arr = rns_exp(ctx, [n_int] * B, xs, es, ebits)  # compile
                     t0 = time.perf_counter()
-                    for _ in range(args.reps):
-                        got_arr = rns_exp(ctx, [n_int] * B, xs, es, ebits)
+                    for k in range(args.reps):
+                        out_k = rns_exp(ctx, [n_int] * B, xs, es ^ (k + 1), ebits)
                     dt = (time.perf_counter() - t0) / args.reps
                     got = int(got_arr[0])
                 ok = "ok" if got == want else "WRONG"

@@ -57,17 +57,28 @@ def from_limbs(a) -> int:
 
 def batch_to_limbs(xs, L: int) -> np.ndarray:
     """Encode a (nested) list of python ints into an [..., L] limb array."""
+    from . import modctx as _m
+
+    t0 = _m.time.perf_counter() if _m.PROFILE else 0.0
     arr = np.asarray(xs, dtype=object)
     out = np.zeros(arr.shape + (L,), dtype=np.uint32)
     flat_in = arr.reshape(-1)
     flat_out = out.reshape(-1, L)
     for i, v in enumerate(flat_in):
         flat_out[i] = to_limbs(int(v), L)
+    if _m.PROFILE:
+        _m.PROFILE_LOG.append(
+            ("host:to_limbs", flat_in.shape[0], L * 16, "-",
+             _m.time.perf_counter() - t0)
+        )
     return out
 
 
 def batch_from_limbs(a) -> np.ndarray:
     """Decode an [..., L] limb array into an object array of python ints."""
+    from . import modctx as _m
+
+    t0 = _m.time.perf_counter() if _m.PROFILE else 0.0
     a = np.asarray(a)
     lead = a.shape[:-1]
     flat = a.reshape(-1, a.shape[-1])
@@ -82,4 +93,9 @@ def batch_from_limbs(a) -> np.ndarray:
         out = np.empty(flat.shape[0], dtype=object)
         for i in range(flat.shape[0]):
             out[i] = from_limbs(flat[i])
+    if _m.PROFILE:
+        _m.PROFILE_LOG.append(
+            ("host:from_limbs", flat.shape[0], flat.shape[1] * 16, "-",
+             _m.time.perf_counter() - t0)
+        )
     return out.reshape(lead) if lead else out[0]

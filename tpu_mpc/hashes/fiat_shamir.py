@@ -79,6 +79,9 @@ def digest_rows(*columns, reduce_mod=None) -> np.ndarray:
     columns broadcast to a common batch shape.  Returns object ndarray of
     ints (optionally reduced mod `reduce_mod`).
     """
+    from ..core import modctx as _m
+
+    t0 = _m.time.perf_counter() if _m.PROFILE else 0.0
     cols = [np.asarray(c, dtype=object) for c in columns]
     shape = np.broadcast_shapes(*(c.shape for c in cols))
     cols = [np.broadcast_to(c, shape) for c in cols]
@@ -91,6 +94,10 @@ def digest_rows(*columns, reduce_mod=None) -> np.ndarray:
             h.update(bigint_to_bytes(int(c[i] if shape else c[()])))
         v = int.from_bytes(h.digest(), "big")
         out[i] = v % reduce_mod if reduce_mod else v
+    if _m.PROFILE:
+        _m.PROFILE_LOG.append(
+            ("host:digest", n * len(flat), 0, "-", _m.time.perf_counter() - t0)
+        )
     return out.reshape(shape) if shape else out[0]
 
 

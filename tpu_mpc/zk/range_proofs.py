@@ -173,6 +173,9 @@ class PaillierCtxBatch:
 
 def _mulmod(*arrays_then_mod) -> np.ndarray:
     """Elementwise product of object arrays modulo the last argument."""
+    from ..core import modctx as _m
+
+    t0 = _m.time.perf_counter() if _m.PROFILE else 0.0
     *arrays, mod = arrays_then_mod
     arrays = [np.asarray(a, dtype=object) for a in arrays]
     mod = np.asarray(mod, dtype=object)
@@ -186,6 +189,11 @@ def _mulmod(*arrays_then_mod) -> np.ndarray:
         for a in flat:
             acc = acc * int(a[b]) % m
         out[b] = acc
+    if _m.PROFILE:
+        _m.PROFILE_LOG.append(
+            ("host:mulmod", fm.shape[0] * len(flat), 0, "-",
+             _m.time.perf_counter() - t0)
+        )
     return out.reshape(shape)
 
 
@@ -229,6 +237,9 @@ def _clamp_exponents(shape, *pairs):
 
 
 def _invmod(a, mod) -> np.ndarray:
+    from ..core import modctx as _m
+
+    t0 = _m.time.perf_counter() if _m.PROFILE else 0.0
     a = np.asarray(a, dtype=object)
     mod = np.asarray(mod, dtype=object)
     shape = np.broadcast_shapes(a.shape, mod.shape)
@@ -240,6 +251,10 @@ def _invmod(a, mod) -> np.ndarray:
             out[b] = pow(int(fa[b]), -1, int(fm[b]))
         except ValueError:
             out[b] = 0  # non-invertible -> verification will fail
+    if _m.PROFILE:
+        _m.PROFILE_LOG.append(
+            ("host:invmod", fa.shape[0], 0, "-", _m.time.perf_counter() - t0)
+        )
     return out.reshape(shape)
 
 

@@ -74,3 +74,32 @@ def test_rns_exp_production_width():
     got = rns_exp(ctx, ns, xs, es, 2048)
     for g, x, e, n in zip(got, xs, es, ns):
         assert int(g) == pow(int(x), int(e), int(n))
+
+
+def test_rns_ctx_propagates_through_views(monkeypatch):
+    """take/tile/expand views must reuse the root's RNS constants (no host
+    re-derivation) and still compute correct powers on derived shapes."""
+    from tpu_mpc.core import modctx as m
+
+    monkeypatch.setattr(m, "USE_RNS", True)
+    r = random.Random(0xB2)
+    ns = _moduli(r, 256, 2).reshape(1, 2)
+    ctx = m.ModCtx.from_ints(ns, 256)
+    assert ctx._rns is not None
+    tiled = ctx.tile(3)                   # [3, 2]
+    taken = tiled.take([1], axis=1)       # [3, 1]
+    exp = taken.expand(1)                 # [3, 1, 1]
+    for d in (tiled, taken, exp):
+        assert d._rns is not None
+    base = np.asarray([[3, 5], [7, 11], [13, 17]], dtype=object)
+    e = np.asarray(7, dtype=object)
+    got = tiled.pow(base, e, ebits_hint=3)
+    for i in range(3):
+        for j in range(2):
+            assert int(got[i, j]) == pow(int(base[i, j]), 7, int(ns[0, j]))
+    # derived-with-expand path: broadcast ctx [3,1,1] against operands [3,1,2]
+    base2 = np.asarray([[[3, 4]], [[5, 6]], [[7, 8]]], dtype=object)
+    got2 = exp.pow(base2, e, ebits_hint=3)
+    for i in range(3):
+        for j in range(2):
+            assert int(got2[i, 0, j]) == pow(int(base2[i, 0, j]), 7, int(ns[0, 1]))

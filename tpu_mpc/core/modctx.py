@@ -130,7 +130,12 @@ class ModCtx:
     @classmethod
     def from_ints(cls, ns, bits: int) -> "ModCtx":
         ns = np.asarray(ns, dtype=object)
-        return cls(n_ints=ns, ctx=MontCtx.from_ints(ns, bits), bits=bits)
+        out = cls(n_ints=ns, ctx=MontCtx.from_ints(ns, bits), bits=bits)
+        if USE_RNS:
+            # build eagerly at the root so take/tile/expand views inherit the
+            # constants as index ops instead of re-deriving them per pass
+            out.rns_ctx()
+        return out
 
     @property
     def batch_shape(self):
@@ -145,6 +150,9 @@ class ModCtx:
                   (self.ctx.n, self.ctx.n0inv, self.ctx.r2, self.ctx.rone))
             ),
             bits=self.bits,
+            _rns=self._rns.map_batch(
+                lambda a: jnp.take(a, jnp.asarray(indices), axis=axis)
+            ) if self._rns is not None else None,
         )
 
     def tile(self, S: int) -> "ModCtx":
@@ -157,6 +165,7 @@ class ModCtx:
                 *(tile_dev(c) for c in (self.ctx.n, self.ctx.n0inv, self.ctx.r2, self.ctx.rone))
             ),
             bits=self.bits,
+            _rns=self._rns.map_batch(tile_dev) if self._rns is not None else None,
         )
 
     def expand(self, axis: int) -> "ModCtx":
@@ -168,6 +177,8 @@ class ModCtx:
                   (self.ctx.n, self.ctx.n0inv, self.ctx.r2, self.ctx.rone))
             ),
             bits=self.bits,
+            _rns=self._rns.map_batch(lambda a: jnp.expand_dims(a, axis))
+            if self._rns is not None else None,
         )
 
     def pow(self, base_ints, exp_ints, ebits_hint: int | None = None) -> np.ndarray:

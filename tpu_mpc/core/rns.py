@@ -189,6 +189,20 @@ class RnsCtx:
     def tree_unflatten(cls, aux, children):
         return cls(aux, *children)
 
+    def map_batch(self, fn) -> "RnsCtx":
+        """Apply a batch-axis transform (take/tile/expand) to every constant
+        array.  All arrays carry the modulus-batch dims leading (channel dim,
+        when present, is last), so any transform addressed at a batch axis
+        applies uniformly — this lets derived ModCtx views reuse the parent's
+        RNS constants instead of re-deriving them host-side per pass."""
+        return RnsCtx(
+            self.params_nbits,
+            *(fn(a) for a in (
+                self.negNinvA, self.N_B, self.N_r, self.monA, self.monB,
+                self.mon_r, self.r2A, self.r2B, self.r2_r,
+            )),
+        )
+
     @classmethod
     def from_ints(cls, ns, nbits: int) -> "RnsCtx":
         par = RnsParams(nbits)

@@ -81,7 +81,7 @@ def test_rns_ctx_propagates_through_views(monkeypatch):
     re-derivation) and still compute correct powers on derived shapes."""
     from tpu_mpc.core import modctx as m
 
-    monkeypatch.setattr(m, "USE_RNS", True)
+    monkeypatch.setattr(m, "_RNS_ENV", "1")  # force the RNS policy on (CPU)
     r = random.Random(0xB2)
     ns = _moduli(r, 256, 2).reshape(1, 2)
     ctx = m.ModCtx.from_ints(ns, 256)

@@ -106,9 +106,97 @@ def _flatten_pad(a, batch_shape):
     return _mesh.shard_flat(flat)
 
 
-# RNS backend for plain pow (core/rns.py, MXU path): opt-in via env while
-# the CIOS kernel remains the default; pow_prod/pow_fixed_prod stay CIOS.
-USE_RNS = bool(int(os.environ.get("TPU_MPC_RNS", "0")))
+# RNS backend (core/rns.py, MXU path): DEFAULT on accelerators for plain
+# `pow` and single-base `pow_prod` — measured on TPU v5e (BENCH_r03
+# artifacts): 678 vs 458 modexp/s at 4096-bit/2048-exp B=1024, and ~3x
+# lower fixed launch cost.  Multi-base pow_prod and the fixed-base table
+# path stay CIOS (shared squarings / zero squarings win there).
+# TPU_MPC_RNS=1 forces on (incl. CPU), =0 forces off, unset = auto.
+_RNS_ENV = os.environ.get("TPU_MPC_RNS")
+_RNS_AUTO: bool | None = None
+
+
+def rns_enabled() -> bool:
+    global _RNS_AUTO
+    if _RNS_ENV is not None:
+        return _RNS_ENV == "1"
+    if _RNS_AUTO is None:
+        import jax
+
+        _RNS_AUTO = jax.default_backend() != "cpu"
+    return _RNS_AUTO
+
+
+# back-compat alias (pre-r3 call sites / tests gate on this)
+USE_RNS = _RNS_ENV == "1"
+
+
+def host_mulmod(*arrays_then_mod) -> np.ndarray:
+    """Elementwise product of object-int arrays modulo the last argument
+    (host loop; python-int mul/mod are C speed at these widths)."""
+    t0 = time.perf_counter() if PROFILE else 0.0
+    *arrays, mod = arrays_then_mod
+    arrays = [np.asarray(a, dtype=object) for a in arrays]
+    mod = np.asarray(mod, dtype=object)
+    shape = np.broadcast_shapes(*(a.shape for a in arrays), mod.shape)
+    flat = [np.broadcast_to(a, shape).reshape(-1) for a in arrays]
+    fm = np.broadcast_to(mod, shape).reshape(-1)
+    out = np.empty(fm.shape[0], dtype=object)
+    for b in range(fm.shape[0]):
+        acc = 1
+        m = int(fm[b])
+        for a in flat:
+            acc = acc * int(a[b]) % m
+        out[b] = acc
+    if PROFILE:
+        PROFILE_LOG.append(
+            ("host:mulmod", fm.shape[0] * len(flat), 0, "-", time.perf_counter() - t0)
+        )
+    return out.reshape(shape)
+
+
+@dataclasses.dataclass
+class LazyInts:
+    """A dispatched-but-not-synced modexp result.
+
+    JAX dispatch is asynchronous; the per-launch host sync (np.asarray) is
+    what serializes the ~120-launch offline DAG against the device/tunnel
+    round-trip.  `sync=False` pow variants return this handle so callers
+    dispatch every independent launch of a phase first and decode after —
+    one pipeline of transfers instead of L blocking round-trips."""
+
+    dev: object          # device limb array, flat [Bp, L]
+    shape: tuple         # logical batch shape
+    lead: int            # valid rows (rest is pow-of-2 padding)
+
+    def ints(self) -> np.ndarray:
+        res = batch_from_limbs(np.asarray(self.dev[: self.lead]))
+        return res.reshape(self.shape) if self.shape else res
+
+
+def _maybe_lazy(out, shape, sync: bool):
+    lead = int(np.prod(shape)) if shape else 1
+    if not sync:
+        return LazyInts(dev=out, shape=shape, lead=lead)
+    res = batch_from_limbs(np.asarray(out[:lead]))
+    return res.reshape(shape) if shape else res
+
+
+def resolve(x):
+    """Lazy handle (anything with .ints(): LazyInts, RnsLazy, LazyMap) ->
+    object ints; anything else passes through."""
+    return x.ints() if hasattr(x, "ints") else x
+
+
+@dataclasses.dataclass
+class LazyMap:
+    """Deferred host post-processing of a lazy modexp result."""
+
+    src: object
+    fn: object
+
+    def ints(self):
+        return self.fn(resolve(self.src))
 
 
 @dataclasses.dataclass
@@ -131,7 +219,7 @@ class ModCtx:
     def from_ints(cls, ns, bits: int) -> "ModCtx":
         ns = np.asarray(ns, dtype=object)
         out = cls(n_ints=ns, ctx=MontCtx.from_ints(ns, bits), bits=bits)
-        if USE_RNS:
+        if rns_enabled():
             # build eagerly at the root so take/tile/expand views inherit the
             # constants as index ops instead of re-deriving them per pass
             out.rns_ctx()
@@ -181,10 +269,12 @@ class ModCtx:
             if self._rns is not None else None,
         )
 
-    def pow(self, base_ints, exp_ints, ebits_hint: int | None = None) -> np.ndarray:
+    def pow(self, base_ints, exp_ints, ebits_hint: int | None = None,
+            sync: bool = True) -> np.ndarray:
         """(base ** exp) mod n, batched on device.  All inputs are object
         ndarrays of ints (broadcast against the modulus batch).  Exponents
-        must be non-negative and < 2^ebits_hint (default: measured)."""
+        must be non-negative and < 2^ebits_hint (default: measured).
+        sync=False returns a LazyInts handle (async dispatch)."""
         base = np.asarray(base_ints, dtype=object)
         expv = np.asarray(exp_ints, dtype=object)
         shape = np.broadcast_shapes(base.shape, expv.shape, self.batch_shape)
@@ -194,17 +284,20 @@ class ModCtx:
             flat = expv.reshape(-1)
             ebits_hint = max((int(v).bit_length() for v in flat.tolist()), default=1)
         eb = ebits_class(max(ebits_hint, 1))
-        if USE_RNS:
+        if rns_enabled():
             from . import rns
 
             t0 = time.perf_counter() if PROFILE else 0.0
-            res = rns.rns_exp(self.rns_ctx(), self.n_ints, base, expv, eb)
-            if PROFILE:
-                PROFILE_LOG.append(
-                    ("pow_rns", int(np.prod(shape)) if shape else 1, self.bits, eb,
-                     time.perf_counter() - t0)
-                )
-            return res
+            lz = rns.rns_exp_dispatch(self.rns_ctx(), self.n_ints, base, expv, eb)
+            if PROFILE or sync:
+                res = lz.ints()
+                if PROFILE:
+                    PROFILE_LOG.append(
+                        ("pow_rns", int(np.prod(shape)) if shape else 1, self.bits, eb,
+                         time.perf_counter() - t0)
+                    )
+                return res
+            return lz
         L = nlimbs(self.bits)
         Le = nlimbs(eb)
         x = jnp.asarray(batch_to_limbs(np.mod(base, np.broadcast_to(self.n_ints, shape)), L))
@@ -217,12 +310,10 @@ class ModCtx:
         ctxf = MontCtx(bc(self.ctx.n), bc(self.ctx.n0inv), bc(self.ctx.r2), bc(self.ctx.rone))
         t0 = time.perf_counter() if PROFILE else 0.0
         out = mont_exp(xf, ef, ctxf, ebits=eb)
-        lead = int(np.prod(shape)) if shape else 1
-        res_limbs = np.asarray(out[:lead])
         if PROFILE:
+            out.block_until_ready()
             PROFILE_LOG.append(("pow", xf.shape[0], self.bits, eb, time.perf_counter() - t0))
-        res = batch_from_limbs(res_limbs)
-        return res.reshape(shape) if shape else res
+        return _maybe_lazy(out, shape, sync or PROFILE)
 
     def make_tables(self, bases, max_ebits: int) -> jnp.ndarray:
         """Precompute fixed-base window tables for long-lived bases.
@@ -239,7 +330,7 @@ class ModCtx:
         x = jnp.asarray(batch_to_limbs(np.mod(b, n_b), L))
         return make_fixed_table(x, self.ctx, nw)
 
-    def pow_fixed_prod(self, tables, exps, ebits_hints) -> np.ndarray:
+    def pow_fixed_prod(self, tables, exps, ebits_hints, sync: bool = True) -> np.ndarray:
         """prod_i base_i^exps[i] mod n from precomputed window tables —
         zero squarings (the per-window chain is just one montmul per base).
 
@@ -262,23 +353,28 @@ class ModCtx:
         t0 = time.perf_counter() if PROFILE else 0.0
         out = mont_exp_fixed_prod(tuple(tables), ef, self.ctx, ebits_list=tuple(ebs))
         out = jnp.broadcast_to(out, shape + out.shape[-1:])
-        res_limbs = np.asarray(out)
+        out = out.reshape((-1, out.shape[-1]))
         if PROFILE:
+            out.block_until_ready()
             PROFILE_LOG.append(
                 ("pow_fixed", int(np.prod(shape)) if shape else 1, self.bits,
                  tuple(ebs), time.perf_counter() - t0)
             )
-        return batch_from_limbs(res_limbs)
+        return _maybe_lazy(out, shape, sync or PROFILE)
 
-    def pow_prod(self, bases, exps, ebits_hints=None) -> np.ndarray:
-        """prod_i bases[i]**exps[i] mod n in ONE device launch with shared
-        squarings (Straus).  bases/exps: sequences of object ndarrays.  This
-        is the fast path for ring-Pedersen commitments h1^a h2^b and for
-        folding the extra z^e / c^e factors of the verify equations."""
+    def pow_prod(self, bases, exps, ebits_hints=None, mults=(),
+                 sync: bool = True) -> np.ndarray:
+        """prod_i bases[i]**exps[i] * prod_j mults[j] mod n in ONE device
+        launch with shared squarings (Straus).  bases/exps/mults: sequences
+        of object ndarrays.  This is the fast path for ring-Pedersen
+        commitments h1^a h2^b and — via `mults` (2 montmuls per factor) —
+        for the inverse-free verify rearrangements u * c^e == ... ."""
         bases = [np.asarray(b, dtype=object) for b in bases]
         exps = [np.asarray(e, dtype=object) for e in exps]
+        mults = [np.asarray(m, dtype=object) for m in mults]
         shape = np.broadcast_shapes(
-            self.batch_shape, *(b.shape for b in bases), *(e.shape for e in exps)
+            self.batch_shape, *(b.shape for b in bases), *(e.shape for e in exps),
+            *(m.shape for m in mults)
         )
         ebs = []
         for k, e in enumerate(exps):
@@ -287,6 +383,28 @@ class ModCtx:
                 flat = np.broadcast_to(e, shape).reshape(-1)
                 hint = max((int(v).bit_length() for v in flat.tolist()), default=1)
             ebs.append(ebits_class(max(hint, 1)))
+        if len(bases) == 1 and rns_enabled():
+            # single-base product: the RNS/MXU kernel wins (see rns_enabled);
+            # plain mults fold in as one deferred host mulmod
+            from . import rns
+
+            t0 = time.perf_counter() if PROFILE else 0.0
+            lz = rns.rns_exp_dispatch(
+                self.rns_ctx(), self.n_ints, bases[0], exps[0], ebs[0]
+            )
+            if mults:
+                n_bb = np.broadcast_to(self.n_ints, shape)
+                ms = list(mults)
+                lz = LazyMap(lz, lambda v: host_mulmod(v, *ms, n_bb))
+            if PROFILE or sync:
+                res = resolve(lz)
+                if PROFILE:
+                    PROFILE_LOG.append(
+                        ("pow_rns", int(np.prod(shape)) if shape else 1, self.bits,
+                         ebs[0], time.perf_counter() - t0)
+                    )
+                return res
+            return lz
         L = nlimbs(self.bits)
         n_b = np.broadcast_to(self.n_ints, shape)
         xf = tuple(
@@ -297,13 +415,15 @@ class ModCtx:
             _flatten_pad(jnp.asarray(batch_to_limbs(np.broadcast_to(e, shape), nlimbs(eb))), shape)
             for e, eb in zip(exps, ebs)
         )
+        mf = tuple(
+            _flatten_pad(jnp.asarray(batch_to_limbs(np.mod(np.broadcast_to(m, shape), n_b), L)), shape)
+            for m in mults
+        )
         bc = lambda a: _flatten_pad(jnp.broadcast_to(a, shape + a.shape[-1:]), shape)
         ctxf = MontCtx(bc(self.ctx.n), bc(self.ctx.n0inv), bc(self.ctx.r2), bc(self.ctx.rone))
         t0 = time.perf_counter() if PROFILE else 0.0
-        out = mont_exp_prod(xf, ef, ctxf, ebits_list=tuple(ebs))
-        lead = int(np.prod(shape)) if shape else 1
-        res_limbs = np.asarray(out[:lead])
+        out = mont_exp_prod(xf, ef, ctxf, ebits_list=tuple(ebs), ms=mf)
         if PROFILE:
+            out.block_until_ready()
             PROFILE_LOG.append(("pow_prod", xf[0].shape[0], self.bits, tuple(ebs), time.perf_counter() - t0))
-        res = batch_from_limbs(res_limbs)
-        return res.reshape(shape) if shape else res
+        return _maybe_lazy(out, shape, sync or PROFILE)

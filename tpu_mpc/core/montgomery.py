@@ -172,8 +172,8 @@ def mont_exp(x, e, ctx: MontCtx, ebits: int):
 
 
 @functools.partial(jax.jit, static_argnames=("ebits_list",))
-def mont_exp_prod(xs, es, ctx: MontCtx, ebits_list: tuple):
-    """prod_i xs[i]^es[i] mod n with shared squarings (Straus/Shamir).
+def mont_exp_prod(xs, es, ctx: MontCtx, ebits_list: tuple, ms: tuple = ()):
+    """prod_i xs[i]^es[i] * prod_j ms[j] mod n with shared squarings.
 
     The ring-Pedersen pattern h1^a * h2^b (mod N~) dominates the MtA range
     proofs (reference: src/utilities/mta/range_proofs.rs:58-67,145-156); a
@@ -184,6 +184,11 @@ def mont_exp_prod(xs, es, ctx: MontCtx, ebits_list: tuple):
     exponents with es[i] < 2^ebits_list[i] (static).  Exponents of different
     widths are staged MSB-first: a fori_loop per distinct width, so short
     exponents cost no table muls in the high windows.
+
+    ms: optional plain (exponent-1) factors folded into the same launch for
+    2 montmuls each — the multiplicative verify rearrangement u * c^e ==
+    (s1 N + 1) * s^N (range_proofs.rs:105-156 recomputed-commitment form)
+    runs with no host-side modular inverse and no extra launch.
     """
     assert len(xs) == len(es) == len(ebits_list) >= 1
     L = ctx.L
@@ -191,7 +196,8 @@ def mont_exp_prod(xs, es, ctx: MontCtx, ebits_list: tuple):
     nws = [-(-eb // WINDOW) for eb in ebits_list]
     nw_max = max(nws)
     batch = jnp.broadcast_shapes(
-        ctx.rone.shape[:-1], *(x.shape[:-1] for x in xs), *(e.shape[:-1] for e in es)
+        ctx.rone.shape[:-1], *(x.shape[:-1] for x in xs), *(e.shape[:-1] for e in es),
+        *(m.shape[:-1] for m in ms)
     )
     rone = jnp.broadcast_to(ctx.rone, batch + (L,))
 
@@ -228,6 +234,8 @@ def mont_exp_prod(xs, es, ctx: MontCtx, ebits_list: tuple):
     for k, lo in enumerate(starts):
         active = [i for i in range(len(xs)) if nw_max - nws[i] <= lo]
         acc = lax.fori_loop(lo, bounds[k + 1], make_body(active), acc)
+    for m in ms:
+        acc = mont_mul(acc, to_mont(m, ctx), ctx)
     return from_mont(acc, ctx)
 
 

@@ -152,15 +152,24 @@ def message_b(
     # np.mod on a raw bigint overflows C long
     beta_tag = np.asarray(rng.below(n, shape), dtype=object)
     randomness = np.asarray(rng.below(n, shape), dtype=object)
-    c_beta_tag = paillier_encrypt_ints(ek, beta_tag, randomness)
-    b_ca = ek.nn_ctx.pow(msg_a_c, b_arr, 256)
-    c_b = _mulmod(b_ca, c_beta_tag, np.broadcast_to(ek.nn, shape))
+    # Enc(beta') and c_a^b are independent launches: dispatch both async,
+    # run the EC dlog proofs while they fly, decode last
+    from ..core.modctx import resolve
+
+    nn = np.broadcast_to(ek.nn, shape)
+    rn_l = ek.nn_ctx.pow(randomness, n, ek.n_ctx.bits, sync=False)
+    b_ca_l = ek.nn_ctx.pow(msg_a_c, b_arr, 256, sync=False)
     # vectorize keeps object dtype even for 0-d shapes (np.mod on a 0-d
     # object array collapses to a raw bigint and overflows C long)
     beta = np.vectorize(lambda v: (-int(v)) % Q, otypes=[object])(beta_tag)
 
     b_proof = sigma.dlog_prove(dec.sc_from_ints(np.mod(np.broadcast_to(b_arr, shape), Q)), rng)
     beta_tag_proof = sigma.dlog_prove(dec.sc_from_ints(np.mod(beta_tag, Q)), rng)
+
+    c_beta_tag = _mulmod(
+        np.broadcast_to(beta_tag, shape) * n + 1, resolve(rn_l), nn
+    )
+    c_b = _mulmod(resolve(b_ca_l), c_beta_tag, nn)
 
     range_proofs = None
     if prove_stmt is not None:

@@ -130,7 +130,7 @@ class Gg20OfflineStage(StateMachine):
                 _obj(st["N"]), _obj(st["g"]), _obj(st["ni"]), self.bits
             )
             pr = alice_prove(_obj(self.k), _obj(c_a), my_ek, stmt, _obj(self.k_rand), rng)
-            proofs[str(j)] = {k: int(getattr(pr, k)[()]) for k in ("z", "e", "s", "s1", "s2")}
+            proofs[str(j)] = {k: int(getattr(pr, k)[()]) for k in ("z", "e", "s", "s1", "s2", "u", "w")}
         self._broadcast(1, {"com": com, "c_a": c_a, "alice_proofs": proofs})
         self.com = com
 
@@ -148,7 +148,7 @@ class Gg20OfflineStage(StateMachine):
             b = bodies[j]
             ek_j = PaillierCtxBatch.from_ints(_obj(self._ek_of(j)), self.bits)
             pr = b["alice_proofs"][str(self.party_i)]
-            proof = AliceProofBatch(**{k: _obj(pr[k]) for k in ("z", "e", "s", "s1", "s2")})
+            proof = AliceProofBatch(**{k: _obj(pr[k]) for k in ("z", "e", "s", "s1", "s2", "u", "w")})
             if not bool(alice_verify(proof, _obj(b["c_a"]), ek_j, my_stmt)[()]):
                 raise ProtocolError("invalid Alice range proof", [j])
             out = {}

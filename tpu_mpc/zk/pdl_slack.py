@@ -7,7 +7,8 @@ Used by GG20 phase 5 (party_i.rs:691-766) and Lindell'17 keygen.
 
 Hash order matches mod.rs:102-110: H(G, Q, c, z, u1, u2, u3) with points as
 compressed-bytes-ints.  The verifier's negative exponents (mod.rs:182-199
-commitment_unknown_order with -e) become host-side modular inverses.
+commitment_unknown_order with -e) are rearranged multiplicatively
+(u2 c^e == (s1 N + 1) s2^N etc.) so no modular inverse is needed.
 """
 
 from __future__ import annotations
@@ -18,14 +19,13 @@ import numpy as np
 
 from ..core.limbs import batch_from_limbs
 from ..ec import secp256k1 as dec
-from ..hashes.fiat_shamir import digest_rows, point_hash_ints
+from ..hashes.fiat_shamir import digest_rows, point_hash_ints, point_hash_ints_many
 from ..host import ec as hec
 from .range_proofs import (
     E_BITS,
     DlogStatementBatch,
     PaillierCtxBatch,
     _clamp_exponents,
-    _invmod,
     _mulmod,
     obj_mod,
 )
@@ -76,29 +76,28 @@ def pdl_slack_prove(x_ints, r_ints, stmt: PDLwSlackStatementBatch, rng) -> PDLwS
     gamma = rng.below(Q3 * n_t, shape)
 
     tb = stmt.dlog.ctx.bits
-    z = stmt.dlog.pow_h1h2(x, rho, hints=(E_BITS, E_BITS + tb))
+    from ..core.modctx import resolve
+
+    # three independent device launches + the EC u1 path: dispatch all
+    # before any sync (LazyInts), overlapping the tunnel round-trips
+    z_l = stmt.dlog.pow_h1h2(x, rho, hints=(E_BITS, E_BITS + tb), sync=False)
+    # (N+1)^alpha mod N^2 == 1 + alpha*N (binomial identity): folded as a
+    # plain multiplier into beta^N — host-side mulmod eliminated
+    u2_l = stmt.ek.nn_ctx.pow(
+        beta, n, ebits_hint=stmt.ek.n_ctx.bits, sync=False
+    )
+    u3_l = stmt.dlog.pow_h1h2(alpha, gamma, hints=(768, 768 + tb), sync=False)
     u1_pt = dec.scalar_mul(dec.sc_from_ints(obj_mod(alpha, Q)), stmt.G_pt)
     u1x_l, u1y_l, _ = dec.to_affine(u1_pt)
     # keep object ndarrays even at 0-d (single-session runtime path)
     u1_x = np.asarray(batch_from_limbs(np.asarray(u1x_l)), dtype=object)
     u1_y = np.asarray(batch_from_limbs(np.asarray(u1y_l)), dtype=object)
-    # (N+1)^alpha mod N^2 == 1 + alpha*N (binomial identity): host-side, free
-    u2 = _mulmod(
-        alpha * n + 1,
-        stmt.ek.nn_ctx.pow(beta, n, ebits_hint=stmt.ek.n_ctx.bits),
-        nn,
-    )
-    u3 = stmt.dlog.pow_h1h2(alpha, gamma, hints=(768, 768 + tb))
+    z = resolve(z_l)
+    u2 = _mulmod(alpha * n + 1, resolve(u2_l), nn)
+    u3 = resolve(u3_l)
 
-    e = digest_rows(
-        point_hash_ints(stmt.G_pt),
-        point_hash_ints(stmt.Q_pt),
-        stmt.ciphertext,
-        z,
-        _u1_hash_ints(u1_x, u1_y),
-        u2,
-        u3,
-    )
+    gi, qi, u1i = point_hash_ints_many(stmt.G_pt, stmt.Q_pt, u1_pt)
+    e = digest_rows(gi, qi, stmt.ciphertext, z, u1i, u2, u3)
     s1 = e * x + alpha
     s2 = _mulmod(stmt.ek.n_ctx.pow(r_ints, e, ebits_hint=E_BITS), beta, n)
     s3 = e * rho + gamma
@@ -113,16 +112,32 @@ def pdl_slack_verify(proof: PDLwSlackProofBatch, stmt: PDLwSlackStatementBatch) 
     n = np.broadcast_to(stmt.ek.n, shape)
     nn = np.broadcast_to(stmt.ek.nn, shape)
 
-    e = digest_rows(
-        point_hash_ints(stmt.G_pt),
-        point_hash_ints(stmt.Q_pt),
-        stmt.ciphertext,
-        proof.z,
-        _u1_hash_ints(proof.u1_x, proof.u1_y),
-        proof.u2,
-        proof.u3,
+    u1_dev = pts_from_xy(proof.u1_x, proof.u1_y)
+    gi, qi, u1i = point_hash_ints_many(stmt.G_pt, stmt.Q_pt, u1_dev)
+    e = digest_rows(gi, qi, stmt.ciphertext, proof.z, u1i, proof.u2, proof.u3)
+    tb = stmt.dlog.ctx.bits
+    (s1, s3), width_ok = _clamp_exponents(
+        shape, (proof.s1, 776), (proof.s3, 768 + tb + 16)
     )
-    # u1 check: s1 G + (q - e) Q == u1   (mod.rs:138-142)
+    # inverse-free rearrangement of mod.rs:144-160: u2/u3 are already on the
+    # wire, so check u2 c^e == (s1 N + 1) s2^N and u3 z^e == h1^s1 h2^s3
+    # directly — no host-loop modular inverse (see AliceProofBatch).  All
+    # four launches independent: async dispatch, decode last.
+    from ..core.modctx import resolve
+
+    lhs_u2 = stmt.ek.nn_ctx.pow_prod(
+        [stmt.ciphertext], [e], ebits_hints=(E_BITS,), mults=[proof.u2], sync=False
+    )
+    rhs_u2 = stmt.ek.nn_ctx.pow_prod(
+        [proof.s2], [n], ebits_hints=(stmt.ek.n_ctx.bits,), mults=[s1 * n + 1],
+        sync=False,
+    )
+    lhs_u3 = stmt.dlog.ctx.pow_prod(
+        [proof.z], [e], ebits_hints=(E_BITS,), mults=[proof.u3], sync=False
+    )
+    rhs_u3 = stmt.dlog.pow_h1h2(s1, s3, hints=(776, 768 + tb + 16), sync=False)
+    # u1 check: s1 G + (q - e) Q == u1 (mod.rs:138-142) — EC work overlaps
+    # the in-flight modexp launches above
     s1_mod = obj_mod(proof.s1, Q)
     e_neg = np.vectorize(lambda v: (Q - int(v) % Q) % Q, otypes=[object])(
         np.asarray(e, dtype=object)
@@ -131,23 +146,10 @@ def pdl_slack_verify(proof: PDLwSlackProofBatch, stmt: PDLwSlackStatementBatch) 
         dec.scalar_mul(dec.sc_from_ints(np.broadcast_to(s1_mod, shape)), stmt.G_pt),
         dec.scalar_mul(dec.sc_from_ints(np.broadcast_to(e_neg, shape)), stmt.Q_pt),
     )
-    u1_ok = np.asarray(dec.point_eq(u1_test, pts_from_xy(proof.u1_x, proof.u1_y)))
-
-    tb = stmt.dlog.ctx.bits
-    (s1, s3), width_ok = _clamp_exponents(
-        shape, (proof.s1, 776), (proof.s3, 768 + tb + 16)
+    u1_ok = np.asarray(dec.point_eq(u1_test, u1_dev))
+    return (
+        u1_ok
+        & (resolve(lhs_u2) == resolve(rhs_u2))
+        & (resolve(lhs_u3) == resolve(rhs_u3))
+        & width_ok
     )
-    u2_test = _mulmod(
-        s1 * n + 1,
-        stmt.ek.nn_ctx.pow(proof.s2, n, ebits_hint=stmt.ek.n_ctx.bits),
-        _invmod(stmt.ek.nn_ctx.pow(stmt.ciphertext, e, ebits_hint=E_BITS), nn),
-        nn,
-    )
-    u3_test = _mulmod(
-        stmt.dlog.pow_h1h2(s1, s3, hints=(776, 768 + tb + 16)),
-        _invmod(stmt.dlog.ctx.pow(proof.z, e, ebits_hint=E_BITS), n_t),
-        n_t,
-    )
-    u2_ok = u2_test == np.broadcast_to(np.asarray(proof.u2, dtype=object), shape)
-    u3_ok = u3_test == np.broadcast_to(np.asarray(proof.u3, dtype=object), shape)
-    return u1_ok & u2_ok & u3_ok & width_ok

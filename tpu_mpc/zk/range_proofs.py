@@ -85,13 +85,14 @@ class DlogStatementBatch:
             self.tables = (tab[:, :, 0], tab[:, :, 1])
         return self
 
-    def pow_h1h2(self, e1, e2, hints) -> np.ndarray:
+    def pow_h1h2(self, e1, e2, hints, sync: bool = True) -> np.ndarray:
         """h1^e1 * h2^e2 mod N_tilde — fixed-base path when tables exist.
         hints (required) are exponent bit-widths from the sampling domain /
-        clamped field width, never measured from values (ADVICE r1)."""
+        clamped field width, never measured from values (ADVICE r1).
+        sync=False: async dispatch, returns LazyInts (core.modctx)."""
         if self.tables is not None:
-            return self.ctx.pow_fixed_prod(self.tables, [e1, e2], hints)
-        return self.ctx.pow_prod([self.h1, self.h2], [e1, e2], ebits_hints=hints)
+            return self.ctx.pow_fixed_prod(self.tables, [e1, e2], hints, sync=sync)
+        return self.ctx.pow_prod([self.h1, self.h2], [e1, e2], ebits_hints=hints, sync=sync)
 
     def take(self, indices, axis: int) -> "DlogStatementBatch":
         import jax.numpy as jnp
@@ -171,30 +172,7 @@ class PaillierCtxBatch:
         return PaillierCtxBatch(n_ctx=self.n_ctx.tile(S), nn_ctx=self.nn_ctx.tile(S))
 
 
-def _mulmod(*arrays_then_mod) -> np.ndarray:
-    """Elementwise product of object arrays modulo the last argument."""
-    from ..core import modctx as _m
-
-    t0 = _m.time.perf_counter() if _m.PROFILE else 0.0
-    *arrays, mod = arrays_then_mod
-    arrays = [np.asarray(a, dtype=object) for a in arrays]
-    mod = np.asarray(mod, dtype=object)
-    shape = np.broadcast_shapes(*(a.shape for a in arrays), mod.shape)
-    flat = [np.broadcast_to(a, shape).reshape(-1) for a in arrays]
-    fm = np.broadcast_to(mod, shape).reshape(-1)
-    out = np.empty(fm.shape[0], dtype=object)
-    for b in range(fm.shape[0]):
-        acc = 1
-        m = int(fm[b])
-        for a in flat:
-            acc = acc * int(a[b]) % m
-        out[b] = acc
-    if _m.PROFILE:
-        _m.PROFILE_LOG.append(
-            ("host:mulmod", fm.shape[0] * len(flat), 0, "-",
-             _m.time.perf_counter() - t0)
-        )
-    return out.reshape(shape)
+from ..core.modctx import host_mulmod as _mulmod  # noqa: E402 (re-export)
 
 
 def pts_from_xy(xs, ys):
@@ -260,11 +238,20 @@ def _invmod(a, mod) -> np.ndarray:
 
 @dataclasses.dataclass
 class AliceProofBatch:
+    """(z, e, s, s1, s2) as in range_proofs.rs:92-100, plus the sigma
+    commitments (u, w) on the wire: the verifier then checks the equivalent
+    products w*z^e == h1^s1 h2^s2 and u*c^e == (s1 N+1) s^N instead of
+    recomputing u, w with modular inverses (range_proofs.rs:105-156) — the
+    hash binds (u, w) so soundness is identical, and the O(S) host-side
+    invmod loop disappears from the hot path."""
+
     z: np.ndarray
     e: np.ndarray
     s: np.ndarray
     s1: np.ndarray
     s2: np.ndarray
+    u: np.ndarray = None
+    w: np.ndarray = None
 
 
 def alice_prove(a_ints, cipher, ek: PaillierCtxBatch, stmt: DlogStatementBatch, r_ints, rng) -> AliceProofBatch:
@@ -278,10 +265,26 @@ def alice_prove(a_ints, cipher, ek: PaillierCtxBatch, stmt: DlogStatementBatch, 
     rho = rng.below(Q * n_t, shape)
 
     tb = stmt.ctx.bits  # N_tilde width: sampling-domain exponent hints
-    z = stmt.pow_h1h2(a, rho, hints=(E_BITS, E_BITS + tb))
-    beta_n = ek.nn_ctx.pow(beta, np.broadcast_to(ek.n, shape), ebits_hint=ek.n_ctx.bits)
-    u = _mulmod(alpha * np.broadcast_to(ek.n, shape) + 1, beta_n, np.broadcast_to(ek.nn, shape))
-    w = stmt.pow_h1h2(alpha, gamma, hints=(768, 768 + tb))
+    # honest plaintexts are < q (E_BITS); measure the actual width so a
+    # dishonest prover (range_proofs.rs:560-582 out-of-range test) can still
+    # PRODUCE a proof — the verifier's s1-range/width checks then reject it
+    a_bits = max(
+        E_BITS,
+        max((int(v).bit_length() for v in a.reshape(-1).tolist()), default=1),
+    )
+    from ..core.modctx import resolve
+
+    # dispatch all three independent launches before any sync (LazyInts)
+    z_l = stmt.pow_h1h2(a, rho, hints=(a_bits, E_BITS + tb), sync=False)
+    beta_n_l = ek.nn_ctx.pow(
+        beta, np.broadcast_to(ek.n, shape), ebits_hint=ek.n_ctx.bits, sync=False
+    )
+    w_l = stmt.pow_h1h2(alpha, gamma, hints=(768, 768 + tb), sync=False)
+    u = _mulmod(
+        alpha * np.broadcast_to(ek.n, shape) + 1, resolve(beta_n_l),
+        np.broadcast_to(ek.nn, shape),
+    )
+    z, w = resolve(z_l), resolve(w_l)
 
     gen = np.broadcast_to(ek.n, shape) + 1
     e = digest_rows(np.broadcast_to(ek.n, shape), gen, cipher, z, u, w)
@@ -289,7 +292,7 @@ def alice_prove(a_ints, cipher, ek: PaillierCtxBatch, stmt: DlogStatementBatch, 
     s = _mulmod(ek.n_ctx.pow(r_ints, e, ebits_hint=E_BITS), beta, np.broadcast_to(ek.n, shape))
     s1 = e * a + alpha
     s2 = e * rho + gamma
-    return AliceProofBatch(z=z, e=e, s=s, s1=s1, s2=s2)
+    return AliceProofBatch(z=z, e=e, s=s, s1=s1, s2=s2, u=u, w=w)
 
 
 def alice_verify(proof: AliceProofBatch, cipher, ek: PaillierCtxBatch, stmt: DlogStatementBatch) -> np.ndarray:
@@ -308,28 +311,37 @@ def alice_verify(proof: AliceProofBatch, cipher, ek: PaillierCtxBatch, stmt: Dlo
         shape, (proof.e, E_BITS), (proof.s1, 776), (proof.s2, 768 + tb + 16)
     )
 
-    z_e = stmt.ctx.pow(proof.z, e, ebits_hint=E_BITS)
-    w = _mulmod(
-        stmt.pow_h1h2(s1, s2, hints=(776, 768 + tb + 16)),
-        _invmod(z_e, n_t),
-        n_t,
+    # inverse-free form (see AliceProofBatch): w z^e == h1^s1 h2^s2 (mod N~)
+    # and u c^e == (s1 N + 1) s^N (mod N^2), with e == H(..., u, w).
+    # All four launches are independent: dispatch async, hash while the
+    # device works, decode last (LazyInts).
+    from ..core.modctx import resolve
+
+    lhs_w = stmt.ctx.pow_prod(
+        [proof.z], [e], ebits_hints=(E_BITS,), mults=[proof.w], sync=False
     )
-    s_n = ek.nn_ctx.pow(proof.s, n, ebits_hint=ek.n_ctx.bits)
-    c_e = ek.nn_ctx.pow(cipher, e, ebits_hint=E_BITS)
-    u = _mulmod(
-        s1 * n + 1,
-        s_n,
-        _invmod(c_e, nn),
-        nn,
+    rhs_w = stmt.pow_h1h2(s1, s2, hints=(776, 768 + tb + 16), sync=False)
+    lhs_u = ek.nn_ctx.pow_prod(
+        [cipher], [e], ebits_hints=(E_BITS,), mults=[proof.u], sync=False
     )
-    e_check = digest_rows(n, n + 1, cipher, proof.z, u, w)
+    rhs_u = ek.nn_ctx.pow_prod(
+        [proof.s], [n], ebits_hints=(ek.n_ctx.bits,), mults=[s1 * n + 1], sync=False
+    )
+    e_check = digest_rows(n, n + 1, cipher, proof.z, proof.u, proof.w)
     return range_ok & width_ok & (
         e_check == np.broadcast_to(np.asarray(proof.e, dtype=object), shape)
-    )
+    ) & (resolve(lhs_w) == resolve(rhs_w)) & (resolve(lhs_u) == resolve(rhs_u))
 
 
 @dataclasses.dataclass
 class BobProofBatch:
+    """(t, z, e, s, s1, s2, t1, t2) as in range_proofs.rs:300-316, plus the
+    sigma commitments (z_prim, v, w) on the wire so the verifier checks the
+    inverse-free products (see AliceProofBatch for the rationale):
+      z_prim * z^e == h1^s1 h2^s2,  w * t^e == h1^t1 h2^t2   (mod N~)
+      v * c^e == c_a^s1 s^N (t1 N + 1)                       (mod N^2)
+    """
+
     t: np.ndarray
     z: np.ndarray
     e: np.ndarray
@@ -338,6 +350,9 @@ class BobProofBatch:
     s2: np.ndarray
     t1: np.ndarray
     t2: np.ndarray
+    z_prim: np.ndarray = None
+    v: np.ndarray = None
+    w: np.ndarray = None
     # wc ("with check") extension: u = alpha G as affine coordinate pairs
     u_x: np.ndarray | None = None
     u_y: np.ndarray | None = None
@@ -371,15 +386,19 @@ def bob_prove(
 
     tb = stmt.ctx.bits
     pb = ek.n_ctx.bits
-    z = stmt.pow_h1h2(b_arr, rho, hints=(E_BITS, E_BITS + tb))
-    z_prim = stmt.pow_h1h2(alpha, rho_prim, hints=(768, 768 + tb))
-    t = stmt.pow_h1h2(beta_prim, sigma, hints=(pb, E_BITS + tb))
-    w = stmt.pow_h1h2(gamma, tau, hints=(512 + pb, 768 + tb))
-    v = _mulmod(
-        ek.nn_ctx.pow_prod([a_enc, beta], [alpha, n], ebits_hints=(768, pb)),
-        gamma * n + 1,
-        nn,
+    from ..core.modctx import resolve
+
+    # five independent launches: dispatch all async, decode after (LazyInts)
+    z_l = stmt.pow_h1h2(b_arr, rho, hints=(E_BITS, E_BITS + tb), sync=False)
+    zp_l = stmt.pow_h1h2(alpha, rho_prim, hints=(768, 768 + tb), sync=False)
+    t_l = stmt.pow_h1h2(beta_prim, sigma, hints=(pb, E_BITS + tb), sync=False)
+    w_l = stmt.pow_h1h2(gamma, tau, hints=(512 + pb, 768 + tb), sync=False)
+    v_l = ek.nn_ctx.pow_prod(
+        [a_enc, beta], [alpha, n], ebits_hints=(768, pb),
+        mults=[gamma * n + 1], sync=False,
     )
+    z, z_prim, t, w = resolve(z_l), resolve(zp_l), resolve(t_l), resolve(w_l)
+    v = resolve(v_l)
 
     gen = n + 1
     hash_cols = [n, gen, a_enc, mta_enc, z, z_prim, t, v, w]
@@ -403,7 +422,10 @@ def bob_prove(
     s2 = e * rho + rho_prim
     t1 = e * np.broadcast_to(np.asarray(beta_prim, dtype=object), shape) + gamma
     t2 = e * sigma + tau
-    return BobProofBatch(t=t, z=z, e=e, s=s, s1=s1, s2=s2, t1=t1, t2=t2, u_x=u_x, u_y=u_y)
+    return BobProofBatch(
+        t=t, z=z, e=e, s=s, s1=s1, s2=s2, t1=t1, t2=t2,
+        z_prim=z_prim, v=v, w=w, u_x=u_x, u_y=u_y,
+    )
 
 
 def bob_verify(
@@ -433,31 +455,28 @@ def bob_verify(
         (proof.t2, 768 + tb + 16),
     )
 
-    # z^e and t^e share modulus + exponent width: one stacked launch
-    ze_te = stmt.ctx.pow(
-        np.stack([np.broadcast_to(proof.z, shape), np.broadcast_to(proof.t, shape)]),
-        np.broadcast_to(e, (2,) + shape),
-        ebits_hint=E_BITS,
+    # inverse-free form (see BobProofBatch).  z and t share the modulus and
+    # exponent width, so both mod-N~ product LHSs run as one stacked launch;
+    # all five launches are independent -> async dispatch, decode last.
+    from ..core.modctx import resolve
+
+    lhs_zt_l = stmt.ctx.pow_prod(
+        [np.stack([np.broadcast_to(proof.z, shape), np.broadcast_to(proof.t, shape)])],
+        [np.broadcast_to(e, (2,) + shape)],
+        ebits_hints=(E_BITS,),
+        mults=[np.stack([np.broadcast_to(proof.z_prim, shape),
+                         np.broadcast_to(proof.w, shape)])],
+        sync=False,
     )
-    z_e, t_e = ze_te[0], ze_te[1]
-    z_prim = _mulmod(
-        stmt.pow_h1h2(s1, s2, hints=(776, 768 + tb + 16)),
-        _invmod(z_e, n_t),
-        n_t,
+    rhs_z_l = stmt.pow_h1h2(s1, s2, hints=(776, 768 + tb + 16), sync=False)
+    rhs_t_l = stmt.pow_h1h2(t1, t2, hints=(512 + pb + 16, 768 + tb + 16), sync=False)
+    lhs_v_l = ek.nn_ctx.pow_prod(
+        [mta_enc], [e], ebits_hints=(E_BITS,), mults=[proof.v], sync=False
     )
-    mta_e = ek.nn_ctx.pow(mta_enc, e, ebits_hint=E_BITS)
-    v = _mulmod(
-        ek.nn_ctx.pow_prod([a_enc, proof.s], [s1, n], ebits_hints=(776, pb)),
-        t1 * n + 1,
-        _invmod(mta_e, nn),
-        nn,
+    rhs_v_l = ek.nn_ctx.pow_prod(
+        [a_enc, proof.s], [s1, n], ebits_hints=(776, pb), mults=[t1 * n + 1], sync=False
     )
-    w = _mulmod(
-        stmt.pow_h1h2(t1, t2, hints=(512 + pb + 16, 768 + tb + 16)),
-        _invmod(t_e, n_t),
-        n_t,
-    )
-    hash_cols = [n, n + 1, a_enc, mta_enc, proof.z, z_prim, proof.t, v, w]
+    hash_cols = [n, n + 1, a_enc, mta_enc, proof.z, proof.z_prim, proof.t, proof.v, proof.w]
     wc_ok = np.ones(shape, dtype=bool)
     if X_pts is not None:
         X_x, X_y = (np.broadcast_to(np.asarray(c, dtype=object), shape) for c in X_pts)
@@ -474,10 +493,17 @@ def bob_verify(
         rhs = dec.point_add(dec.scalar_mul(dec.sc_from_ints(e_mod), X_dev), u_dev)
         wc_ok = np.asarray(dec.point_eq(s1_pts, rhs))
     e_check = digest_rows(*hash_cols)
+    lhs_zt = resolve(lhs_zt_l)
+    eq_ok = (
+        (lhs_zt[0] == resolve(rhs_z_l))
+        & (lhs_zt[1] == resolve(rhs_t_l))
+        & (resolve(lhs_v_l) == resolve(rhs_v_l))
+    )
     return (
         range_ok
         & width_ok
         & wc_ok
+        & eq_ok
         & (e_check == np.broadcast_to(np.asarray(proof.e, dtype=object), shape))
     )
 

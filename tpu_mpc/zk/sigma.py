@@ -33,7 +33,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..ec import secp256k1 as ec
-from ..hashes.fiat_shamir import digest_rows, point_hash_ints
+from ..hashes.fiat_shamir import digest_rows, point_hash_ints_many
 from ..host import ec as hec
 
 Q = hec.N
@@ -62,7 +62,7 @@ def dlog_prove(x_limbs, rng, base: ec.Point | None = None) -> DLogProof:
     r_limbs = _sc(r)
     R = ec.scalar_mul(r_limbs, base)
     Qp = ec.scalar_mul(x_limbs, base)
-    e = digest_rows(point_hash_ints(R), point_hash_ints(base), point_hash_ints(Qp), reduce_mod=Q)
+    e = digest_rows(*point_hash_ints_many(R, base, Qp), reduce_mod=Q)
     z = ec.sc_add(r_limbs, ec.sc_mul(_sc(e), x_limbs))
     return DLogProof(pk=Qp, commitment=R, z=z)
 
@@ -71,10 +71,7 @@ def dlog_verify(proof: DLogProof, base: ec.Point | None = None) -> np.ndarray:
     shape = proof.batch_shape
     base = base if base is not None else ec.generator(shape)
     e = digest_rows(
-        point_hash_ints(proof.commitment),
-        point_hash_ints(base),
-        point_hash_ints(proof.pk),
-        reduce_mod=Q,
+        *point_hash_ints_many(proof.commitment, base, proof.pk), reduce_mod=Q
     )
     lhs = ec.scalar_mul(proof.z, base)
     rhs = ec.point_add(proof.commitment, ec.scalar_mul(_sc(e), proof.pk))
@@ -92,16 +89,8 @@ class HomoElGamalProof:
 
 
 def _heg_challenge(G, H, Y, D, E, T1, T2):
-    return digest_rows(
-        point_hash_ints(G),
-        point_hash_ints(H),
-        point_hash_ints(Y),
-        point_hash_ints(D),
-        point_hash_ints(E),
-        point_hash_ints(T1),
-        point_hash_ints(T2),
-        reduce_mod=Q,
-    )
+    # one to_affine launch for the whole statement (point_hash_ints_many)
+    return digest_rows(*point_hash_ints_many(G, H, Y, D, E, T1, T2), reduce_mod=Q)
 
 
 def homo_elgamal_prove(x_limbs, r_limbs, G, H, Y, D, E, rng) -> HomoElGamalProof:
@@ -143,7 +132,7 @@ def pedersen_prove(m_limbs, r_limbs, rng) -> PedersenProof:
     s1 = _sc(rng.scalars(shape))
     s2 = _sc(rng.scalars(shape))
     A = ec.point_add(ec.scalar_mul(s1, G), ec.scalar_mul(s2, H2))
-    e = _sc(digest_rows(point_hash_ints(A), point_hash_ints(T), reduce_mod=Q))
+    e = _sc(digest_rows(*point_hash_ints_many(A, T), reduce_mod=Q))
     z1 = ec.sc_add(s1, ec.sc_mul(e, m_limbs))
     z2 = ec.sc_add(s2, ec.sc_mul(e, r_limbs))
     return PedersenProof(T=T, A=A, z1=z1, z2=z2)
@@ -153,7 +142,7 @@ def pedersen_verify(proof: PedersenProof) -> np.ndarray:
     shape = proof.z1.shape[:-1]
     G = ec.generator(shape)
     H2 = ec.base_point2(shape)
-    e = _sc(digest_rows(point_hash_ints(proof.A), point_hash_ints(proof.T), reduce_mod=Q))
+    e = _sc(digest_rows(*point_hash_ints_many(proof.A, proof.T), reduce_mod=Q))
     lhs = ec.point_add(ec.scalar_mul(proof.z1, G), ec.scalar_mul(proof.z2, H2))
     rhs = ec.point_add(proof.A, ec.scalar_mul(e, proof.T))
     return np.asarray(ec.point_eq(lhs, rhs))
@@ -170,13 +159,7 @@ class ECDDHProof:
 
 def _ecddh_challenge(g1, h1, g2, h2, a1, a2):
     return digest_rows(
-        point_hash_ints(g1),
-        point_hash_ints(h1),
-        point_hash_ints(g2),
-        point_hash_ints(h2),
-        point_hash_ints(a1),
-        point_hash_ints(a2),
-        reduce_mod=Q,
+        *point_hash_ints_many(g1, h1, g2, h2, a1, a2), reduce_mod=Q
     )
 
 

@@ -122,3 +122,27 @@ def test_round_blame_reports_missing():
     count, blamed = sm.round_blame()
     assert count == 2 and blamed == [2, 3]
     assert "[bc 0/2]*" in repr(sm)
+
+
+def test_wire_level_blame_tampered_alice_proof(keygen_outputs):
+    """Adversarial wire test: corrupt party 2's round-1 Alice range proof in
+    transit; the receiving SM must abort with a ProtocolError blaming [2]
+    (the deserialize-and-verify surface of blame.rs-style identification)."""
+    from tpu_mpc.runtime.state_machine import ProtocolError
+
+    outs = keygen_outputs
+    s_l = [0, 1]
+    sms = [
+        Gg20OfflineStage(1, s_l, outs[0], SessionRng(501)),
+        Gg20OfflineStage(2, s_l, outs[1], SessionRng(502)),
+    ]
+
+    def tamper(msg):
+        if msg.sender == 2 and msg.body.get("round") == 1 and "alice_proofs" in msg.body:
+            for pr in msg.body["alice_proofs"].values():
+                pr["z"] = int(pr["z"]) ^ 1  # flip one bit of the commitment
+        return msg
+
+    with pytest.raises(ProtocolError) as exc:
+        run_simulation(sms, tamper=tamper)
+    assert exc.value.bad_actors == [2]

@@ -477,12 +477,27 @@ def point_stack(pts, axis: int = 0) -> Point:
 
 
 def point_sum(p: Point, axis: int) -> Point:
-    """Sum of a point batch along a (small, static) axis."""
-    n = p.X.shape[axis]
-    acc = point_index_axis(p, 0, axis)
-    for k in range(1, n):
-        acc = point_add(acc, point_index_axis(p, k, axis))
-    return acc
+    """Sum of a point batch along a static axis — pairwise tree reduction:
+    ceil(log2 n) batched point_adds instead of an n-1-deep linear chain
+    (the batched-reduction analog of an MSM accumulation pass; keeps the
+    device busy on [.., n/2, ..] slabs rather than serial full-batch adds)."""
+
+    def take(q, sl):
+        idx = (slice(None),) * (axis % q.X.ndim) + (sl,)
+        return Point(q.X[idx], q.Y[idx], q.Z[idx])
+
+    while p.X.shape[axis] > 1:
+        n = p.X.shape[axis]
+        h = n // 2
+        pair = point_add(take(p, slice(0, h)), take(p, slice(n - h, n)))
+        if n % 2:
+            odd = take(p, slice(h, h + 1))
+            pair = Point(
+                *(jnp.concatenate([a, b], axis=axis % p.X.ndim)
+                  for a, b in zip((pair.X, pair.Y, pair.Z), (odd.X, odd.Y, odd.Z)))
+            )
+        p = pair
+    return point_index_axis(p, 0, axis)
 
 
 # ---- host bridges ---------------------------------------------------------

@@ -168,34 +168,40 @@ def sign(key: LocalKeyBatch, s_parties: list[int], m_int, rng: SessionRng) -> Si
     blind1 = rng.bits(SECURITY, (S, tp))
     com1 = commit_rows(point_hash_ints(g_gamma), blind1)
 
-    # MtA pair matrices: alice axis=1 (owner of k), bob axis=2 (gamma / w)
+    # MtA pairs, off-diagonal PACKED [S, alice, tp-1] (see gg20 _peer_idx):
+    # the dense eye-masked [S, tp, tp] layout wasted a diagonal of device
+    # compute on every MtA launch
+    from ..gg20.batch import _peer_idx
+
+    peers, iinv = _peer_idx(tp)
+    kidx = np.broadcast_to(np.arange(tp - 1), (tp, tp - 1))
+    pshape = (S, tp, tp - 1)
     ek_s = key.ek.take(s_parties, 1)                  # [S, tp]
-    ek_pairs = ek_s.expand(2)                         # [S, tp, 1] -> bcast [S, tp, tp]
+    ek_pairs = ek_s.expand(2)                         # [S, tp, 1]
     r_a = rng.below(np.broadcast_to(ek_s.n, (S, tp)), (S, tp))
     msg_a = mta.message_a(k, ek_s, r_a, None, rng)    # c_a [S, tp]
 
-    c_a_pairs = np.broadcast_to(msg_a.c[:, :, None], (S, tp, tp))
-    gamma_b = np.broadcast_to(gamma[:, None, :], (S, tp, tp))
-    w_b = np.broadcast_to(w[:, None, :], (S, tp, tp))
+    c_a_pairs = np.broadcast_to(msg_a.c[:, :, None], pshape)
+    gamma_b = gamma[:, peers]                         # bob j's secret per slot
+    w_b = w[:, peers]
 
     msg_b_gamma, beta_g, _, _, _ = mta.message_b(gamma_b, ek_pairs, c_a_pairs, None, None, rng)
     msg_b_w, beta_w, _, _, _ = mta.message_b(w_b, ek_pairs, c_a_pairs, None, None, rng)
 
-    # alice decrypts: alpha (gamma path), mu (w path)  [S, tp(alice), tp(bob)]
+    # alice decrypts: alpha (gamma path), mu (w path)  [S, alice, tp-1]
     dk_s = mta.expand_tree_axis(
         _dk_take(key.dk, s_parties, 1), 2
     )
-    a_pairs = np.broadcast_to(k[:, :, None], (S, tp, tp))
-    alpha, _, ok_a = mta.verify_proofs_get_alpha(dk_s, msg_b_gamma, a_pairs, (S, tp, tp))
-    mu, _, ok_m = mta.verify_proofs_get_alpha(dk_s, msg_b_w, a_pairs, (S, tp, tp))
-    eye = np.eye(tp, dtype=bool)[None]
-    mta_ok = np.where(eye, True, ok_a & ok_m).all(axis=(1, 2))
+    a_pairs = np.broadcast_to(k[:, :, None], pshape)
+    alpha, _, ok_a = mta.verify_proofs_get_alpha(dk_s, msg_b_gamma, a_pairs, pshape)
+    mu, _, ok_m = mta.verify_proofs_get_alpha(dk_s, msg_b_w, a_pairs, pshape)
+    mta_ok = (ok_a & ok_m).all(axis=(1, 2))
 
     # phase 2: delta_i, sigma_i (party_i.rs:426-444)
     kg = np.mod(k * gamma, Q)
     kw = np.mod(k * w, Q)
-    delta_i = np.mod(kg + _off_diag_sum(alpha, 2) + _off_diag_sum(beta_g, 1), Q)
-    sigma_i = np.mod(kw + _off_diag_sum(mu, 2) + _off_diag_sum(beta_w, 1), Q)
+    delta_i = np.mod(kg + np.sum(alpha, axis=2) + np.sum(beta_g[:, iinv, kidx], axis=2), Q)
+    sigma_i = np.mod(kw + np.sum(mu, axis=2) + np.sum(beta_w[:, iinv, kidx], axis=2), Q)
 
     # phase 3: delta = sum, invert (party_i.rs:446-452)
     delta = np.mod(np.sum(delta_i, axis=1), Q)
@@ -204,10 +210,9 @@ def sign(key: LocalKeyBatch, s_parties: list[int], m_int, rng: SessionRng) -> Si
     # phase 4: decommit g_gamma, check b_proofs, R (party_i.rs:454-483)
     com_ok = (commit_rows(point_hash_ints(g_gamma), blind1) == com1).all(axis=1)
     # b_proof pk (bob j's gamma) must equal decommitted g_gamma_j
-    bp_pk = msg_b_gamma.b_proof.pk                   # [S, tp, tp] points
-    gg_pairs = dec.point_expand(g_gamma, 1)          # [S, 1, tp]
-    pk_ok_mat = np.asarray(dec.point_eq(bp_pk, gg_pairs))
-    pk_ok = np.where(eye, True, pk_ok_mat).all(axis=(1, 2))
+    bp_pk = msg_b_gamma.b_proof.pk                   # [S, alice, tp-1] points
+    gg_peers = dec.point_take(g_gamma, peers, 1)
+    pk_ok = np.asarray(dec.point_eq(bp_pk, gg_peers)).all(axis=(1, 2))
     gamma_sum = dec.point_sum(g_gamma, axis=1)       # [S]
     R = dec.scalar_mul(_sc(delta_inv), gamma_sum)
     r_x = batch_from_limbs(np.asarray(dec.x_coord_mod_q(R)))  # [S] ints

@@ -47,7 +47,7 @@ from ...zk.pdl_slack import (
     pdl_slack_verify,
 )
 from ...zk.range_proofs import DlogStatementBatch, PaillierCtxBatch
-from ..gg18.batch import _dk_take, _off_diag_sum, _sc, gen_paillier_batch
+from ..gg18.batch import _dk_take, _sc, gen_paillier_batch
 
 Q = hec.N
 SECURITY = 256
@@ -191,6 +191,26 @@ def keygen(
     return KeygenResult20(key=key, ok=~bad.any(axis=1), bad_actors=bad)
 
 
+def _peer_idx(tp: int):
+    """Rotation packing for the off-diagonal pair layout: slot (i, kk) is
+    the pair (alice i, bob peers[i, kk] = (i+1+kk) mod tp).  iinv is the
+    inverse map: peers[iinv[j, kk], kk] == j, so `a[:, iinv, kidx]` gathers
+    the slots where party j is the bob."""
+    peers = np.asarray([[(i + 1 + kk) % tp for kk in range(tp - 1)] for i in range(tp)])
+    iinv = np.asarray([[(j - 1 - kk) % tp for kk in range(tp - 1)] for j in range(tp)])
+    return peers, iinv
+
+
+def _unpack_dense(packed: np.ndarray, peers: np.ndarray, fill) -> np.ndarray:
+    """Packed [S, tp, tp-1] -> dense [S, alice, bob] with `fill` diagonal."""
+    S_, tp = packed.shape[0], packed.shape[1]
+    dense = np.full((S_, tp, tp), fill, dtype=object)
+    for i in range(tp):
+        for kk in range(tp - 1):
+            dense[:, i, peers[i, kk]] = packed[:, i, kk]
+    return dense
+
+
 @dataclasses.dataclass
 class OfflineState:
     """CompletedOfflineStage analog (sign.rs:647-655) + blame inputs."""
@@ -221,6 +241,7 @@ class OfflineState:
     miu: np.ndarray = None        # [S, alice, bob] raw (pre-mod-q) mu
     ni: np.ndarray = None         # beta of w path
     debug_masks: dict = None      # per-check masks (diagnostics)
+    g_gamma_decommit: dec.Point = None  # phase-4 decommitted points (blame input)
 
 
 def offline_stage(
@@ -234,7 +255,6 @@ def offline_stage(
     """
     S = key.S
     tp = len(s_parties)
-    eye = np.eye(tp, dtype=bool)[None]
     # fixed-base h1/h2 tables: no-op if already built at keygen or if the
     # statement batch is too large (then pow_h1h2 falls back to pow_prod)
     key.dlog_stmt.ensure_tables()
@@ -246,49 +266,70 @@ def offline_stage(
     k = rng.scalars((S, tp))
     gamma = rng.scalars((S, tp))
     g_gamma = dec.mul_generator(_sc(gamma))
+    # decommit-corruption seam (test.rs-style): a party commits AND decommits
+    # consistently to a FAKE g_gamma (2 gamma G) while using the real gamma
+    # in the MtA — only the phase-5 blame decommit re-check (blame.rs:126-141)
+    # identifies it from the revealed state.
+    if corrupt and corrupt.get("step") == "decommit":
+        fake = gamma.copy()
+        for pi in corrupt["parties"]:
+            fake[:, pi] = np.mod(fake[:, pi] * 2, Q)
+        g_gamma_dec = dec.mul_generator(_sc(fake))
+    else:
+        g_gamma_dec = g_gamma
 
     blind1 = rng.bits(SECURITY, (S, tp))
-    com1 = commit_rows(point_hash_ints(g_gamma), blind1)
+    com1 = commit_rows(point_hash_ints(g_gamma_dec), blind1)
 
     ek_s = key.ek.take(s_parties, 1)
     stmt_s = key.dlog_stmt.take(s_parties, 1)         # [S, tp]
     # MessageA: alice i encrypts k_i, proving range to each peer j's stmt
     r_a = rng.below(np.broadcast_to(ek_s.n, (S, tp)), (S, tp))
-    stmt_pairs = stmt_s.expand(1)                     # [S, 1, tp] (peer axis last)
+    # Off-diagonal PACKED pair layout [S, alice, tp-1]: slot (i, kk) is the
+    # pair (alice i, bob j = peers[i, kk]).  The dense eye-masked [S, tp, tp]
+    # layout wasted a full diagonal of device compute on every MtA-layer
+    # launch — 2x the useful work at the 2-of-3 production quorum.
+    peers, iinv = _peer_idx(tp)
+    kidx = np.broadcast_to(np.arange(tp - 1), (tp, tp - 1))
+    stmt_peers = stmt_s.take(peers, 1)                # [S, alice, tp-1]
     ek_alice_pairs = ek_s.expand(2)                   # [S, tp, 1]
     from ...zk.range_proofs import alice_prove
 
     c_a = mta.paillier_encrypt_ints(ek_s, k, r_a)     # [S, tp] — one enc per alice
     alice_proofs = alice_prove(
-        k[:, :, None], c_a[:, :, None], ek_alice_pairs, stmt_pairs, r_a[:, :, None], rng
-    )  # [S, alice, peer]
+        k[:, :, None], c_a[:, :, None], ek_alice_pairs, stmt_peers, r_a[:, :, None], rng
+    )  # [S, alice, peer-slot]
 
-    # MessageB (bob j responds to alice i): verify alice proof against own stmt
-    c_a_pairs = np.broadcast_to(c_a[:, :, None], (S, tp, tp))
-    gamma_b = np.broadcast_to(gamma[:, None, :], (S, tp, tp))
-    w_b = np.broadcast_to(w[:, None, :], (S, tp, tp))
-    own_stmt_pairs = stmt_s.expand(1)                 # bob axis is 2 -> stmt at [S,1,tp]
+    # MessageB (bob j responds to alice i): verify alice proof against own
+    # stmt — the packed slot's statement IS bob's own (peers[i, kk] = j)
+    pshape = (S, tp, tp - 1)
+    c_a_pairs = np.broadcast_to(c_a[:, :, None], pshape)
+    gamma_b = gamma[:, peers]                         # bob j's secret per slot
+    w_b = w[:, peers]
     msg_b_gamma, beta_g, beta_rand, beta_tag, alice_ok = mta.message_b(
-        gamma_b, ek_alice_pairs, c_a_pairs, alice_proofs, own_stmt_pairs, rng
+        gamma_b, ek_alice_pairs, c_a_pairs, alice_proofs, stmt_peers, rng
     )
     msg_b_w, beta_w, _, _, _ = mta.message_b(
         w_b, ek_alice_pairs, c_a_pairs, None, None, rng
     )
-    alice_ok = np.where(eye, True, alice_ok)
 
     dk_s = mta.expand_tree_axis(_dk_take(key.dk, s_parties, 1), 2)
-    a_pairs = np.broadcast_to(k[:, :, None], (S, tp, tp))
-    alpha, alpha_raw, ok_a = mta.verify_proofs_get_alpha(dk_s, msg_b_gamma, a_pairs, (S, tp, tp))
-    miu, miu_raw, ok_m = mta.verify_proofs_get_alpha(dk_s, msg_b_w, a_pairs, (S, tp, tp))
+    a_pairs = np.broadcast_to(k[:, :, None], pshape)
+    alpha, alpha_raw, ok_a = mta.verify_proofs_get_alpha(dk_s, msg_b_gamma, a_pairs, pshape)
+    miu, miu_raw, ok_m = mta.verify_proofs_get_alpha(dk_s, msg_b_w, a_pairs, pshape)
     # MtAwc check: bob's w commitment must match g_w_j (mta/mod.rs:204-209)
-    gw_pairs = dec.point_expand(g_w, 1)
-    gwc = np.asarray(dec.point_eq(msg_b_w.b_proof.pk, gw_pairs))
-    mta_ok = np.where(eye, True, ok_a & ok_m & gwc)
+    gw_peers = dec.point_take(g_w, peers, 1)
+    gwc = np.asarray(dec.point_eq(msg_b_w.b_proof.pk, gw_peers))
+    # responder-side failures blame bob j: fold packed slots onto the bob
+    # axis via the inverse index (peers[iinv[j, kk], kk] == j)
+    mta_ok = (ok_a & ok_m & gwc)[:, iinv, kidx].all(axis=2)   # [S, bob]
 
     kg = np.mod(k * gamma, Q)
     kw = np.mod(k * w, Q)
-    delta_i = np.mod(kg + _off_diag_sum(alpha, 2) + _off_diag_sum(beta_g, 1), Q)
-    sigma_i = np.mod(kw + _off_diag_sum(miu, 2) + _off_diag_sum(beta_w, 1), Q)
+    # delta_i = k_i gamma_i + sum_k alpha[i, k] (alice side, packed axis)
+    #          + sum over slots where party i is the bob (inverse fold)
+    delta_i = np.mod(kg + np.sum(alpha, axis=2) + np.sum(beta_g[:, iinv, kidx], axis=2), Q)
+    sigma_i = np.mod(kw + np.sum(miu, axis=2) + np.sum(beta_w[:, iinv, kidx], axis=2), Q)
 
     if corrupt and corrupt.get("step") == 5:
         for pi in corrupt["parties"]:
@@ -306,10 +347,12 @@ def offline_stage(
     # phase 3-4: delta reconstruction, decommit gamma, R
     delta = np.mod(np.sum(delta_i, axis=1), Q)
     delta_inv = np.asarray([pow(int(d), -1, Q) if int(d) else 0 for d in delta], dtype=object)
-    com_ok = (commit_rows(point_hash_ints(g_gamma), blind1) == com1)
-    gg_pairs = dec.point_expand(g_gamma, 1)
-    pk_ok = np.where(eye, True, np.asarray(dec.point_eq(msg_b_gamma.b_proof.pk, gg_pairs)))
-    gamma_sum = dec.point_sum(g_gamma, axis=1)
+    com_ok = (commit_rows(point_hash_ints(g_gamma_dec), blind1) == com1)
+    gg_peers = dec.point_take(g_gamma_dec, peers, 1)
+    pk_ok = np.asarray(dec.point_eq(msg_b_gamma.b_proof.pk, gg_peers))[
+        :, iinv, kidx
+    ].all(axis=2)                                     # [S, bob]
+    gamma_sum = dec.point_sum(g_gamma_dec, axis=1)
     R = dec.scalar_mul(_sc(delta_inv), gamma_sum)
     r_x = batch_from_limbs(np.asarray(dec.x_coord_mod_q(R)))
 
@@ -317,19 +360,19 @@ def offline_stage(
     R_pairs = dec.point_expand(R, 1)
     R_bar = dec.scalar_mul(_sc(k), R_pairs)           # [S, tp]
     pdl_stmt = PDLwSlackStatementBatch(
-        ciphertext=np.broadcast_to(c_a[:, :, None], (S, tp, tp)),
+        ciphertext=np.broadcast_to(c_a[:, :, None], pshape),
         ek=ek_alice_pairs,
         Q_pt=dec.point_expand(R_bar, 2),
         G_pt=dec.point_expand(R_pairs, 2),
-        dlog=stmt_pairs,                              # peer j's statement
+        dlog=stmt_peers,                              # peer j's statement
     )
     pdl_proofs = pdl_slack_prove(
-        np.broadcast_to(k[:, :, None], (S, tp, tp)),
-        np.broadcast_to(r_a[:, :, None], (S, tp, tp)),
+        np.broadcast_to(k[:, :, None], pshape),
+        np.broadcast_to(r_a[:, :, None], pshape),
         pdl_stmt,
         rng,
     )
-    pdl_ok = np.where(eye, True, pdl_slack_verify(pdl_proofs, pdl_stmt))
+    pdl_ok = pdl_slack_verify(pdl_proofs, pdl_stmt)   # [S, alice, tp-1]
 
     # phase5_check_R_dash_sum: sum R_bar == G (party_i.rs:768-776)
     rb_sum = dec.point_sum(R_bar, axis=1)
@@ -348,12 +391,12 @@ def offline_stage(
     s_sum_ok = np.asarray(dec.point_eq(s_sum, key.y))
 
     # fold pair matrices onto the culpable axis: prover/alice failures blame
-    # the alice axis (reduce peers, axis=2); responder/bob failures blame the
-    # bob axis (reduce alices, axis=1) — mirroring the reference's `ind`
-    # bookkeeping (party_i.rs:650-666, 729-754)
+    # the alice axis (reduce the packed peer axis); responder/bob failures
+    # were folded onto the bob axis above via the inverse index — mirroring
+    # the reference's `ind` bookkeeping (party_i.rs:650-666, 729-754)
     per_party_ok = (
         alice_ok.all(axis=2) & pdl_ok.all(axis=2)
-        & mta_ok.all(axis=1) & pk_ok.all(axis=1)
+        & mta_ok & pk_ok
         & ped_ok & com_ok & heg_ok
     )  # [S, tp]
     ok = per_party_ok.all(axis=1) & rdash_ok & s_sum_ok
@@ -363,16 +406,74 @@ def offline_stage(
         "rdash": rdash_ok, "s_sum": s_sum_ok,
     }
 
+    # blame inputs stay DENSE [S, alice, bob] (blame.py replays eye-masked
+    # dense matrices); diagonal fills are inert under the eye masks
+    dense = lambda a, fill: _unpack_dense(np.asarray(a, dtype=object), peers, fill)
     return OfflineState(
         s_parties=s_parties, R=R, r_x=r_x, k=k, sigma_i=sigma_i, delta_i=delta_i,
         y=key.y, ok=np.asarray(ok), bad_actors=~per_party_ok,
-        k_randomness=r_a, gamma=gamma, beta_g=beta_g, beta_randomness=beta_rand,
-        beta_tag=beta_tag, alpha=alpha_raw, msg_a_c=c_a,
-        msg_b_gamma_c=np.asarray(msg_b_gamma.c, dtype=object),
+        k_randomness=r_a, gamma=gamma, beta_g=dense(beta_g, 0),
+        beta_randomness=dense(beta_rand, 1),
+        beta_tag=dense(beta_tag, 0), alpha=dense(alpha_raw, 0), msg_a_c=c_a,
+        msg_b_gamma_c=dense(msg_b_gamma.c, 0),
         R_bar=R_bar, S_i=S_i, T_i=T_i, l_i=l_i,
-        m_b_w_c=np.asarray(msg_b_w.c, dtype=object), miu=miu_raw, ni=beta_w,
-        debug_masks=debug_masks,
+        m_b_w_c=dense(msg_b_w.c, 1), miu=dense(miu_raw, 0), ni=dense(beta_w, 0),
+        debug_masks=debug_masks, g_gamma_decommit=g_gamma_dec,
     )
+
+
+def refresh_private_key(key: LocalKeyBatch20, factor_ints, rng: SessionRng) -> LocalKeyBatch20:
+    """Proactive key rotation (gg_2020/party_i.rs:459-499
+    refresh_private_key / refresh_private_key_safe_prime): u_i += factor,
+    fresh Paillier keypair AND fresh ring-Pedersen (h1, h2, N_tilde) setup
+    per slot.  Primes are always safe primes here (the device keygen path
+    uses gen_paillier_batch for both reference variants).
+
+    factor_ints: [S, n] additive factors — a refresh ceremony supplies
+    zero-sum factors so y is invariant; like the reference, this applies
+    whatever it is given.
+    """
+    S, n, bits = key.S, key.n, key.paillier_bits
+    factor = np.mod(np.asarray(factor_ints, dtype=object), Q)
+    u_new = np.mod(key.u + factor, Q)
+    y_i_new = dec.mul_generator(_sc(u_new))
+    p_fac, q_fac = gen_paillier_batch(S, n, bits, rng)
+    ns = p_fac * q_fac
+    nt_ctx, h1, h2, _xhi, _xhi_inv, _phi = generate_h1_h2_n_tilde_batch(S, n, bits, rng)
+    stmt = DlogStatementBatch(ctx=nt_ctx, h1=h1, h2=h2)
+    stmt.ensure_tables()
+    return dataclasses.replace(
+        key,
+        u=u_new,
+        y_i=y_i_new,
+        y=dec.point_sum(y_i_new, axis=1),
+        p=p_fac,
+        q=q_fac,
+        ek=PaillierCtxBatch.from_ints(ns, bits),
+        dk=dp.BatchDecryptionKey.from_ints(p_fac, q_fac, bits),
+        dlog_stmt=stmt,
+    )
+
+
+def update_private_key(key: LocalKeyBatch20, factor_u, factor_x) -> LocalKeyBatch20:
+    """PartyPrivate::update_private_key (gg_2020/party_i.rs:513-523):
+    additive update of u_i and x_i; Paillier and ring-Pedersen untouched."""
+    u_new = np.mod(key.u + np.asarray(factor_u, dtype=object), Q)
+    x_new = np.mod(key.x + np.asarray(factor_x, dtype=object), Q)
+    y_i_new = dec.mul_generator(_sc(u_new))
+    return dataclasses.replace(
+        key, u=u_new, x=x_new, y_i=y_i_new, y=dec.point_sum(y_i_new, axis=1)
+    )
+
+
+def to_encrypted_segments(
+    key: LocalKeyBatch20, segment_size: int, num_segments: int, pub_y, rng: SessionRng
+):
+    """Verifiable backup of every u_i share (gg_2020/party_i.rs:503-511
+    to_encrypted_segment) — same centipede segmentation as the GG18 path."""
+    from ...host import backup
+
+    return backup.backup_batch(key.u, segment_size, num_segments, pub_y, rng)
 
 
 @dataclasses.dataclass

@@ -45,10 +45,14 @@ def phase5_blame(key: LocalKeyBatch20, off: OfflineState) -> list[list[int]]:
     eye = np.eye(tp, dtype=bool)[None]
     ek_s = key.ek.take(off.s_parties, 1)
 
-    # 1. commitment check g_gamma_i == gamma_i G is against the decommitted
-    # points; in this in-process transcript they are equal by construction,
-    # so the binding check reduces to the replays below.
+    # 1. decommit re-check (blame.rs:126-141): the revealed gamma_i must
+    # reproduce the phase-4 decommitted g_gamma_i — catches a party that
+    # committed/decommitted to a fake point while using the real gamma in
+    # the MtA (or lies about gamma in the reveal).
     bad = np.zeros((S, tp), dtype=bool)
+    if off.g_gamma_decommit is not None:
+        g_gamma_rec = dec.mul_generator(_sc(np.mod(off.gamma, Q)))
+        bad |= ~np.asarray(dec.point_eq(g_gamma_rec, off.g_gamma_decommit))
 
     # 2. check message A: re-encrypt k with revealed randomness
     c_a_replay = mta.paillier_encrypt_ints(ek_s, np.mod(off.k, Q), off.k_randomness)
@@ -77,8 +81,30 @@ def phase5_blame(key: LocalKeyBatch20, off: OfflineState) -> list[list[int]]:
     return _bad_lists(bad)
 
 
-def phase6_blame(key: LocalKeyBatch20, off: OfflineState, rng: SessionRng) -> list[list[int]]:
-    """Replay of the w-path MtAwc + ECDDH consistency (blame.rs:322-421)."""
+def phase6_local_proofs(off: OfflineState, rng: SessionRng):
+    """The ECDDH proof each ACCUSED party produces from its local state for
+    the statement (G, R; sigma_i G + ..., S_i) — the per-party inputs the
+    judge-side phase6_blame consumes (GlobalStatePhase6, blame.rs:258-271).
+    """
+    S = off.k.shape[0]
+    tp = len(off.s_parties)
+    return sigma.ecddh_prove(
+        _sc(off.sigma_i), dec.generator((S, tp)), dec.point_expand(off.R, 1), rng
+    )
+
+
+def phase6_blame(
+    key: LocalKeyBatch20, off: OfflineState, rng: SessionRng,
+    ecddh_proofs=None,
+) -> list[list[int]]:
+    """Replay of the w-path MtAwc + ECDDH consistency (blame.rs:322-421).
+
+    ecddh_proofs: the per-party proofs revealed by the accused parties
+    (phase6_local_proofs).  They are INPUTS here — a forged proof (e.g. a
+    party whose S_i does not encode its true sigma_i) fails verification
+    and blames its producer (blame.rs:396-414).  If omitted, honest local
+    proofs are generated in-process (the all-honest-reveal transcript).
+    """
     S = key.S
     tp = len(off.s_parties)
     eye = np.eye(tp, dtype=bool)[None]
@@ -143,11 +169,11 @@ def phase6_blame(key: LocalKeyBatch20, off: OfflineState, rng: SessionRng) -> li
     g_sigma = dec.point_add(g_sigma, g_ni_sum)
 
     # ECDDH proofs: statement (g1=G, g2=R, h1=g_sigma_i, h2=S_i)
-    proofs = sigma.ecddh_prove(
-        _sc(off.sigma_i), dec.generator((S, tp)), dec.point_expand(off.R, 1), rng
-    )
+    if ecddh_proofs is None:
+        ecddh_proofs = phase6_local_proofs(off, rng)
     ok = sigma.ecddh_verify(
-        proofs, dec.generator((S, tp)), g_sigma, dec.point_expand(off.R, 1), off.S_i
+        ecddh_proofs, dec.generator((S, tp)), g_sigma,
+        dec.point_expand(off.R, 1), off.S_i,
     )
     bad |= ~ok
     return _bad_lists(bad)

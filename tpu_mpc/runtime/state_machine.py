@@ -156,13 +156,17 @@ class StateMachine(abc.ABC):
 
 
 def run_simulation(machines: list[StateMachine], max_steps: int = 10000,
-                   benchmarks: dict | None = None):
+                   benchmarks: dict | None = None, tamper=None):
     """In-process multi-party execution (round_based::dev::Simulation,
     state_machine/keygen.rs:493-527): pump messages until all finish.
 
     Pass a dict as `benchmarks` to collect per-round proceed() wall times
     (Simulation::enable_benchmarks, keygen.rs:499-510): it is filled with
     {round_no: [seconds, ...]} across all machines.
+
+    `tamper(msg) -> msg` intercepts every wire message (adversarial tests:
+    corrupt a proof field in transit and assert the receiver's
+    ProtocolError blames the sender).
     """
     import time as _time
 
@@ -187,6 +191,8 @@ def run_simulation(machines: list[StateMachine], max_steps: int = 10000,
             outgoing, m.message_queue = m.message_queue, []
             for msg in outgoing:
                 wire_msg = Msg.from_json(msg.to_json())  # exercise the wire
+                if tamper is not None:
+                    wire_msg = tamper(wire_msg)
                 for other in machines:
                     if other is m:
                         continue

@@ -21,6 +21,7 @@ import sys
 import time
 
 BASELINE_SIG_PER_SEC_EST = 60.0  # reference est., 16-core host (see docstring)
+BENCH_SEED = 0xBE7C  # public, pinned: the key cache is bench-only, NOT secret
 
 # Persistent compilation cache: the r1 bench paid a 1014s compile warm-up on
 # every driver run.  Caching compiled executables under the repo makes every
@@ -29,23 +30,31 @@ BASELINE_SIG_PER_SEC_EST = 60.0  # reference est., 16-core host (see docstring)
 # env set but config None) — set the config explicitly.
 import jax  # noqa: E402
 
-# BENCH_PLATFORM=cpu: debug/profile runs off-TPU.  The env-var spelling
-# (JAX_PLATFORMS) does not bind in this build and the axon plugin ignores it,
-# so go through jax.config like tests/conftest.py does.
-if os.environ.get("BENCH_PLATFORM"):
-    jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
 
-if os.environ.get("BENCH_PLATFORM", "") != "cpu":
-    # persistent cache only on the TPU path: on CPU this build's cache makes
-    # compiles pathologically slow (see tests/conftest.py).
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
-    )
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+def _configure_jax():
+    """Platform + persistent-cache config.  Called from main(), NOT at import
+    time: tests exec this module for _save_key/_load_key, and a module-level
+    jax.config.update would enable the persistent cache for the whole CPU
+    pytest process (pathologically slow compiles — see tests/conftest.py)."""
+    # BENCH_PLATFORM=cpu: debug/profile runs off-TPU.  The env-var spelling
+    # (JAX_PLATFORMS) does not bind in this build and the axon plugin ignores
+    # it, so go through jax.config like tests/conftest.py does.
+    if os.environ.get("BENCH_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
+    if os.environ.get("BENCH_PLATFORM", "") != "cpu":
+        # persistent cache only on the TPU path: on CPU this build's cache
+        # makes compiles pathologically slow (see tests/conftest.py).
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 def main():
+    _configure_jax()
+    if os.environ.get("BENCH_MODE") == "keygen":
+        return keygen_bench()
     S = int(os.environ.get("BENCH_SESSIONS", "64"))
     bits = int(os.environ.get("BENCH_PAILLIER_BITS", "2048"))
     t0 = time.time()
@@ -55,7 +64,7 @@ def main():
     from tpu_mpc.protocols.gg20 import batch as gg20
     from tpu_mpc.utils.rng import SessionRng
 
-    rng = SessionRng(0xBE7C)
+    rng = SessionRng(BENCH_SEED)
 
     # one 2-of-3 key set, tiled across S sessions.  Keygen is deterministic
     # under the pinned SessionRng seed, so the generated key is cached as
@@ -63,7 +72,9 @@ def main():
     # generation + keygen-kernel compiles and starts at the signing pipeline.
     cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                          f"benches/bench_key_{bits}.json")
+    sys.stderr.write(f"[t+{time.time()-t0:6.1f}s] imports done\n")
     key1 = _load_key(cache)
+    sys.stderr.write(f"[t+{time.time()-t0:6.1f}s] key cache loaded\n")
     if key1 is None:
         kg = gg20.keygen(1, 1, 3, rng, paillier_bits=bits)
         assert kg.ok.all(), "keygen failed"
@@ -111,6 +122,37 @@ def main():
     )
 
 
+def keygen_bench():
+    """BENCH_MODE=keygen: full GG20 2048-bit distributed keygen throughput
+    (rounds 1-4 incl. safe-prime-free Paillier keypairs, ring-Pedersen
+    setup, correct-key + composite-dlog proofs, VSS — the per-round timing
+    story of gg_2020/state_machine/keygen.rs:499-510).  Host prime
+    generation dominates; the C++ helper parallelizes across cores."""
+    import sys as _sys
+
+    from tpu_mpc.protocols.gg20 import batch as gg20
+    from tpu_mpc.utils.rng import SessionRng
+
+    S = int(os.environ.get("BENCH_SESSIONS", "4"))
+    bits = int(os.environ.get("BENCH_PAILLIER_BITS", "2048"))
+    rng = SessionRng(0xFACE)
+    t0 = time.time()
+    res = gg20.keygen(S, 1, 3, rng, paillier_bits=bits)
+    dt = time.time() - t0
+    assert res.ok.all(), "keygen failed"
+    _sys.stderr.write(f"keygen S={S} n=3 {bits}b: {dt:.1f}s\n")
+    print(
+        json.dumps(
+            {
+                "metric": "gg20_3party_keygen_throughput",
+                "value": round(S / dt, 4),
+                "unit": "sessions/sec/chip",
+                "vs_baseline": None,
+            }
+        )
+    )
+
+
 def _save_key(path, key1):
     """Persist an S=1 LocalKeyBatch20 as plain ints (see cache note in main)."""
     import json
@@ -123,6 +165,8 @@ def _save_key(path, key1):
         np.asarray(a, dtype=object)
     ).tolist()
     obj = {
+        "WARNING": "bench-only key, derived from the public seed below — NOT secret",
+        "seed": BENCH_SEED,
         "t": key1.t, "n": key1.n, "bits": key1.paillier_bits,
         "p": E(key1.p), "q": E(key1.q),
         "nt": E(key1.dlog_stmt.ctx.n_ints),
@@ -160,12 +204,20 @@ def _load_key(path):
 
     with open(path) as f:
         d = json.load(f)
+    if d.get("seed") != BENCH_SEED:
+        return None  # provenance mismatch: regenerate under the pinned seed
+    import sys
+    import time
+
+    t0 = time.time()
     A = lambda v: np.asarray(v, dtype=object)
     p, q, bits = A(d["p"]), A(d["q"]), d["bits"]
     ns = p * q
     y_i = dec.points_from_host(_tuplify_pts(d["y_i"]))
     stmt = DlogStatementBatch.from_ints(A(d["nt"]), A(d["h1"]), A(d["h2"]), bits)
+    sys.stderr.write(f"  [load: ctxs built +{time.time()-t0:.1f}s]\n")
     stmt.ensure_tables()
+    sys.stderr.write(f"  [load: h1h2 tables +{time.time()-t0:.1f}s]\n")
     return LocalKeyBatch20(
         S=1, t=d["t"], n=d["n"], paillier_bits=bits,
         p=p, q=q,

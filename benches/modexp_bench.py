@@ -94,7 +94,11 @@ def main():
                     for k in range(args.reps):
                         out_k = rns_exp(ctx, [n_int] * B, xs, es ^ (k + 1), ebits)
                     dt = (time.perf_counter() - t0) / args.reps
+                    # verify the TIMED path too (last perturbed exponent), not
+                    # just the warm-up — symmetric with the CIOS branch
                     got = int(got_arr[0])
+                    if int(out_k[0]) != pow(int(xs[0]), int(es[0]) ^ args.reps, n_int):
+                        got = -1  # timed-path miscompute -> report WRONG
                 ok = "ok" if got == want else "WRONG"
                 print(
                     f"bits={bits} ebits={ebits} B={B:5d} {backend:8s} "

@@ -57,6 +57,15 @@ def main():
         return keygen_bench()
     S = int(os.environ.get("BENCH_SESSIONS", "64"))
     bits = int(os.environ.get("BENCH_PAILLIER_BITS", "2048"))
+
+    # multi-chip / multi-host: TPU_MPC_DISTRIBUTED=1 spans hosts via
+    # jax.distributed; BENCH_MESH=1 activates the sessions mesh over all
+    # visible devices (sessions-DP, collective-free)
+    from tpu_mpc.sharding import mesh as shmesh
+
+    shmesh.maybe_init_distributed()
+    if int(os.environ.get("BENCH_MESH", "0")):
+        shmesh.activate(shmesh.sessions_mesh())
     t0 = time.time()
 
     import numpy as np

@@ -316,18 +316,18 @@ def scalar_mul(k, p: Point) -> Point:
     return Point(*(_canon_unflatten(c, batch) for c in out))
 
 
-_GEN_COMB = None  # (tX, tY, tZ) device arrays [64, 16, L]: T[j][d] = d*16^j*G
+_COMB_TABLES: dict = {}  # base (x, y) -> (tX, tY, tZ) device arrays [64, 16, L]
 
 
-def _gen_comb_table():
-    """Fixed-base comb table for G, built host-side once per process.
+def _comb_table_for(base_xy):
+    """Fixed-base comb table for a public base point, built host-side once
+    per process per base (G, base_point2, ...).
 
-    T[j][d] = (d << 4j) * G in affine (Z=1; d=0 is infinity).  With it,
-    k*G = sum_j T[j][digit_j(k)] — 64 complete additions, ZERO doublings
-    (vs 256 doublings + 64 adds for the generic ladder).  G is public, so
-    no constant-time concern in the table build."""
-    global _GEN_COMB
-    if _GEN_COMB is None:
+    T[j][d] = (d << 4j) * B in affine (Z=1; d=0 is infinity).  With it,
+    k*B = sum_j T[j][digit_j(k)] — 64 complete additions, ZERO doublings
+    (vs 256 doublings + 64 adds for the generic ladder).  Bases are public,
+    so no constant-time concern in the table build."""
+    if base_xy not in _COMB_TABLES:
         from ..core.limbs import to_limbs
         from ..host import ec as hec
 
@@ -336,7 +336,7 @@ def _gen_comb_table():
         tX = np.zeros((nw, nent, L), np.uint32)
         tY = np.zeros((nw, nent, L), np.uint32)
         tZ = np.zeros((nw, nent, L), np.uint32)
-        base = hec.G  # 16^j * G, advanced by 4 doublings per window
+        base = base_xy  # 16^j * B, advanced by 4 doublings per window
         for j in range(nw):
             acc = None
             for d in range(1, nent):
@@ -349,8 +349,14 @@ def _gen_comb_table():
             tY[j, 0, 0] = 1
             for _ in range(WINDOW):
                 base = hec.add(base, base)
-        _GEN_COMB = tuple(jnp.asarray(a) for a in (tX, tY, tZ))
-    return _GEN_COMB
+        _COMB_TABLES[base_xy] = tuple(jnp.asarray(a) for a in (tX, tY, tZ))
+    return _COMB_TABLES[base_xy]
+
+
+def _gen_comb_table():
+    from ..host import ec as hec
+
+    return _comb_table_for(hec.G)
 
 
 @jax.jit
@@ -378,16 +384,30 @@ def _mul_generator_comb(k, tX, tY, tZ):
     return lax.fori_loop(0, nw, body, point_infinity(batch))
 
 
-def mul_generator(k):
-    """k * G via the fixed-base comb (zero doublings; the generic-ladder
-    fallback was VERDICT r1 weak-item 2)."""
+def mul_fixed_base(k, base_xy, label="ec:mulFB"):
+    """k * B for a public fixed base via the per-base comb (zero doublings)."""
     from ..core.modctx import prof_call
 
     batch = k.shape[:-1]
     kf = _canon_flatten(k, batch)
-    tX, tY, tZ = _gen_comb_table()
-    out = prof_call("ec:mulG", kf.shape[0], 256, lambda: _mul_generator_comb(kf, tX, tY, tZ))
+    tX, tY, tZ = _comb_table_for(base_xy)
+    out = prof_call(label, kf.shape[0], 256, lambda: _mul_generator_comb(kf, tX, tY, tZ))
     return Point(*(_canon_unflatten(c, batch) for c in out))
+
+
+def mul_generator(k):
+    """k * G via the fixed-base comb (zero doublings; the generic-ladder
+    fallback was VERDICT r1 weak-item 2)."""
+    from ..host import ec as hec
+
+    return mul_fixed_base(k, hec.G, "ec:mulG")
+
+
+def mul_base_point2(k):
+    """k * base_point2 via the fixed-base comb (Pedersen H2 commitments)."""
+    from ..host import ec as hec
+
+    return mul_fixed_base(k, hec.BASE_POINT2, "ec:mulH2")
 
 
 @jax.jit

@@ -79,6 +79,39 @@ def gen_prime(bits: int, rng: random.Random | None = None) -> int:
             return cand
 
 
+def gen_primes_parallel(bits: int, count: int, rng: random.Random | None = None) -> list[int]:
+    """Generate `count` primes concurrently across host cores.
+
+    Seeds are drawn sequentially from `rng` (one 64-bit seed per prime, the
+    exact draw order of repeated gen_prime calls — deterministic, so cached
+    bench keys and pinned fixtures are unchanged); the search fans out over
+    a thread pool.  The ctypes C++ helper releases the GIL during the call,
+    so this scales with cores — prime generation dominates distributed
+    keygen wall time (kzen-paillier keypair()'s GMP role)."""
+    import os
+    from concurrent.futures import ThreadPoolExecutor
+
+    seeds = [
+        rng.getrandbits(64) if rng else secrets.randbits(64) for _ in range(count)
+    ]
+
+    def one(seed: int) -> int:
+        p = _native_gen_prime(bits, seed)
+        if p is not None:
+            return p
+        r2 = random.Random(seed)  # per-seed fallback keeps parallel determinism
+        while True:
+            cand = r2.getrandbits(bits) | (1 << (bits - 1)) | 1
+            if is_probable_prime(cand, rng=r2):
+                return cand
+
+    workers = min(count, os.cpu_count() or 1)
+    if workers <= 1:
+        return [one(s) for s in seeds]
+    with ThreadPoolExecutor(workers) as ex:
+        return list(ex.map(one, seeds))
+
+
 def gen_safe_prime(bits: int, rng: random.Random | None = None) -> int:
     """Safe prime p = 2q+1 (reference: Paillier::keypair_safe_primes)."""
     if rng is None:

@@ -44,13 +44,12 @@ def _sc(x):
 
 
 def gen_paillier_batch(S: int, n: int, bits: int, rng: SessionRng):
-    """Host-side Paillier keygen for every (session, party) slot."""
-    ps = np.empty((S, n), dtype=object)
-    qs = np.empty((S, n), dtype=object)
-    for s in range(S):
-        for i in range(n):
-            ps[s, i] = primes.gen_prime(bits // 2, rng._r)
-            qs[s, i] = primes.gen_prime(bits // 2, rng._r)
+    """Host-side Paillier keygen for every (session, party) slot —
+    prime search parallelized across cores (seed order matches the old
+    per-slot p,q loop, so generated keys are unchanged)."""
+    flat = primes.gen_primes_parallel(bits // 2, 2 * S * n, rng._r)
+    ps = np.asarray(flat[0::2], dtype=object).reshape(S, n)
+    qs = np.asarray(flat[1::2], dtype=object).reshape(S, n)
     return ps, qs
 
 

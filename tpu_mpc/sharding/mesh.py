@@ -32,10 +32,23 @@ Usage:
 from __future__ import annotations
 
 import contextlib
+import os
 
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def maybe_init_distributed() -> bool:
+    """TPU_MPC_DISTRIBUTED=1: bring up jax.distributed from the standard
+    coordinator env vars so `jax.devices()` (and thus sessions_mesh()) spans
+    every host — the one-flag multi-host path.  Sessions-DP needs no other
+    change: shard_flat partitions the same way over the global mesh, and the
+    sessions axis has no cross-device collectives."""
+    if os.environ.get("TPU_MPC_DISTRIBUTED") != "1":
+        return False
+    jax.distributed.initialize()
+    return True
 
 _ACTIVE: Mesh | None = None
 

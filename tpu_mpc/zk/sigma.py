@@ -57,11 +57,17 @@ class DLogProof:
 def dlog_prove(x_limbs, rng, base: ec.Point | None = None) -> DLogProof:
     """PoK of x for Q = x*Base (Base defaults to G)."""
     shape = x_limbs.shape[:-1]
-    base = base if base is not None else ec.generator(shape)
     r = rng.scalars(shape)
     r_limbs = _sc(r)
-    R = ec.scalar_mul(r_limbs, base)
-    Qp = ec.scalar_mul(x_limbs, base)
+    if base is None:
+        # fixed-base comb: zero doublings for the default-G case (MessageB
+        # b_proofs are the hottest sigma proofs in the offline stage)
+        R = ec.mul_generator(r_limbs)
+        Qp = ec.mul_generator(x_limbs)
+        base = ec.generator(shape)
+    else:
+        R = ec.scalar_mul(r_limbs, base)
+        Qp = ec.scalar_mul(x_limbs, base)
     e = digest_rows(*point_hash_ints_many(R, base, Qp), reduce_mod=Q)
     z = ec.sc_add(r_limbs, ec.sc_mul(_sc(e), x_limbs))
     return DLogProof(pk=Qp, commitment=R, z=z)
@@ -69,11 +75,12 @@ def dlog_prove(x_limbs, rng, base: ec.Point | None = None) -> DLogProof:
 
 def dlog_verify(proof: DLogProof, base: ec.Point | None = None) -> np.ndarray:
     shape = proof.batch_shape
+    fixed_g = base is None
     base = base if base is not None else ec.generator(shape)
     e = digest_rows(
         *point_hash_ints_many(proof.commitment, base, proof.pk), reduce_mod=Q
     )
-    lhs = ec.scalar_mul(proof.z, base)
+    lhs = ec.mul_generator(proof.z) if fixed_g else ec.scalar_mul(proof.z, base)
     rhs = ec.point_add(proof.commitment, ec.scalar_mul(_sc(e), proof.pk))
     return np.asarray(ec.point_eq(lhs, rhs))
 
@@ -126,12 +133,10 @@ class PedersenProof:
 
 def pedersen_prove(m_limbs, r_limbs, rng) -> PedersenProof:
     shape = m_limbs.shape[:-1]
-    G = ec.generator(shape)
-    H2 = ec.base_point2(shape)
-    T = ec.point_add(ec.scalar_mul(m_limbs, G), ec.scalar_mul(r_limbs, H2))
+    T = ec.point_add(ec.mul_generator(m_limbs), ec.mul_base_point2(r_limbs))
     s1 = _sc(rng.scalars(shape))
     s2 = _sc(rng.scalars(shape))
-    A = ec.point_add(ec.scalar_mul(s1, G), ec.scalar_mul(s2, H2))
+    A = ec.point_add(ec.mul_generator(s1), ec.mul_base_point2(s2))
     e = _sc(digest_rows(*point_hash_ints_many(A, T), reduce_mod=Q))
     z1 = ec.sc_add(s1, ec.sc_mul(e, m_limbs))
     z2 = ec.sc_add(s2, ec.sc_mul(e, r_limbs))
@@ -139,11 +144,8 @@ def pedersen_prove(m_limbs, r_limbs, rng) -> PedersenProof:
 
 
 def pedersen_verify(proof: PedersenProof) -> np.ndarray:
-    shape = proof.z1.shape[:-1]
-    G = ec.generator(shape)
-    H2 = ec.base_point2(shape)
     e = _sc(digest_rows(*point_hash_ints_many(proof.A, proof.T), reduce_mod=Q))
-    lhs = ec.point_add(ec.scalar_mul(proof.z1, G), ec.scalar_mul(proof.z2, H2))
+    lhs = ec.point_add(ec.mul_generator(proof.z1), ec.mul_base_point2(proof.z2))
     rhs = ec.point_add(proof.A, ec.scalar_mul(e, proof.T))
     return np.asarray(ec.point_eq(lhs, rhs))
 

@@ -55,7 +55,9 @@ def main():
     _configure_jax()
     if os.environ.get("BENCH_MODE") == "keygen":
         return keygen_bench()
-    S = int(os.environ.get("BENCH_SESSIONS", "64"))
+    # default S=2048: the measured throughput peak of the r3 S-sweep
+    # (4.6 @64, 16 @256, 33.2 @1024, 36.0 @2048, 32.9 @4096 sig/s/chip)
+    S = int(os.environ.get("BENCH_SESSIONS", "2048"))
     bits = int(os.environ.get("BENCH_PAILLIER_BITS", "2048"))
 
     # multi-chip / multi-host: TPU_MPC_DISTRIBUTED=1 spans hosts via
@@ -230,7 +232,7 @@ def _load_key(path):
     return LocalKeyBatch20(
         S=1, t=d["t"], n=d["n"], paillier_bits=bits,
         p=p, q=q,
-        ek=PaillierCtxBatch.from_ints(ns, bits),
+        ek=PaillierCtxBatch.from_ints(ns, bits).attach_sk(p, q),
         dk=dp.BatchDecryptionKey.from_ints(p, q, bits),
         dlog_stmt=stmt,
         u=A(d["u"]), x=A(d["x"]),

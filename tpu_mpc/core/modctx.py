@@ -315,6 +315,37 @@ class ModCtx:
             PROFILE_LOG.append(("pow", xf.shape[0], self.bits, eb, time.perf_counter() - t0))
         return _maybe_lazy(out, shape, sync or PROFILE)
 
+    def make_tables_rns(self, bases, max_ebits: int):
+        """RNS-form fixed-base window tables (see rns.rns_make_tables):
+        per-base (tA, tB, tr) channel stacks usable by pow_fixed_prod_rns
+        for squaring-free products on the MXU path."""
+        from . import rns
+
+        nw_bits = ebits_class(max_ebits)
+        b = np.asarray(bases, dtype=object)
+        return rns.rns_make_tables(
+            self.rns_ctx(), self.n_ints, b, nw_bits, self.bits
+        )
+
+    def pow_fixed_prod_rns(self, tables, exps, ebits_hints, sync: bool = True):
+        """prod_i base_i^exps[i] from RNS tables — zero squarings, MXU path."""
+        from . import rns
+
+        ebs = [ebits_class(max(h, 1)) for h in ebits_hints]
+        t0 = time.perf_counter() if PROFILE else 0.0
+        lz = rns.rns_fixed_prod_dispatch(
+            self.rns_ctx(), self.n_ints, tables, exps, ebs, self.bits
+        )
+        if PROFILE or sync:
+            res = lz.ints()
+            if PROFILE:
+                PROFILE_LOG.append(
+                    ("powfix_rns", int(np.prod(lz.shape)) if lz.shape else 1,
+                     self.bits, tuple(ebs), time.perf_counter() - t0)
+                )
+            return res
+        return lz
+
     def make_tables(self, bases, max_ebits: int) -> jnp.ndarray:
         """Precompute fixed-base window tables for long-lived bases.
 
@@ -393,9 +424,13 @@ class ModCtx:
                 self.rns_ctx(), self.n_ints, bases[0], exps[0], ebs[0]
             )
             if mults:
-                n_bb = np.broadcast_to(self.n_ints, shape)
-                ms = list(mults)
-                lz = LazyMap(lz, lambda v: host_mulmod(v, *ms, n_bb))
+                if lz.shape == shape:
+                    # fold into the decode loop: one host pass total
+                    lz.mults = tuple(mults)
+                else:
+                    n_bb = np.broadcast_to(self.n_ints, shape)
+                    ms = list(mults)
+                    lz = LazyMap(lz, lambda v: host_mulmod(v, *ms, n_bb))
             if PROFILE or sync:
                 res = resolve(lz)
                 if PROFILE:

@@ -494,6 +494,119 @@ def _rns_exp_kernel(xA, xB, xr, e, ctx: RnsCtx, ebits: int, nbits: int):
     return parts[0][0], parts[0][1], parts[1][0], parts[1][1]
 
 
+@functools.partial(jax.jit, static_argnames=("nw", "nbits"))
+def _rns_make_fixed_table(xA, xB, xr, ctx: RnsCtx, nw: int, nbits: int):
+    """Fixed-base window table in RNS-Montgomery form: T[j][d] = x^(d*16^j).
+
+    The RNS analog of montgomery.make_fixed_table — built once per
+    long-lived base (ring-Pedersen h1/h2), so every later commitment runs
+    squaring-free on the MXU path.  Output: ([nw, 16, .., K], [.., Kp],
+    [..]) channel stacks."""
+    par = RnsParams(nbits)
+    cs = _consts(par)
+    nent = 1 << WINDOW
+    batch = jnp.broadcast_shapes(xA.shape[:-1], ctx.monA.shape[:-1])
+    one = (
+        jnp.broadcast_to(ctx.monA, batch + (par.K,)),
+        jnp.broadcast_to(ctx.monB, batch + (par.Kp,)),
+        jnp.broadcast_to(ctx.mon_r, batch),
+    )
+    xm = rns_montmul((xA, xB, xr), (ctx.r2A, ctx.r2B, ctx.r2_r), ctx, cs)
+    xm = tuple(jnp.broadcast_to(c, o.shape) for c, o in zip(xm, one))
+
+    def step(b, _):
+        entries = [one, b]
+        for _ in range(nent - 2):
+            entries.append(rns_montmul(entries[-1], b, ctx, cs))
+        nxt = b
+        for _ in range(WINDOW):
+            nxt = rns_montmul(nxt, nxt, ctx, cs)
+        return nxt, tuple(
+            jnp.stack([e[c] for e in entries]) for c in range(3)
+        )
+
+    _, tabs = lax.scan(step, xm, None, length=nw)
+    return tabs  # (tA, tB, tr)
+
+
+@functools.partial(jax.jit, static_argnames=("ebits_list", "nbits"))
+def _rns_fixed_prod_kernel(tables, es, ctx: RnsCtx, ebits_list: tuple, nbits: int):
+    """prod_i base_i^es[i] from RNS fixed tables — ZERO squarings:
+    sum_i ceil(ebits_i/4) rns_montmuls total.  Returns the same partial
+    planes as _rns_exp_kernel (decode via RnsLazy)."""
+    par = RnsParams(nbits)
+    cs = _consts(par)
+    nent = 1 << WINDOW
+    batch = jnp.broadcast_shapes(
+        ctx.monA.shape[:-1], *(e.shape[:-1] for e in es)
+    )
+    acc = (
+        jnp.broadcast_to(ctx.monA, batch + (par.K,)),
+        jnp.broadcast_to(ctx.monB, batch + (par.Kp,)),
+        jnp.broadcast_to(ctx.mon_r, batch),
+    )
+    for (tA, tB, tr), e, eb in zip(tables, es, ebits_list):
+        nw = -(-eb // WINDOW)
+        e = jnp.broadcast_to(e, batch + (e.shape[-1],))
+
+        def body(j, acc, tA=tA, tB=tB, tr=tr, e=e):
+            bitpos = j * WINDOW
+            limb = bitpos // LIMB_BITS
+            off = bitpos % LIMB_BITS
+            elimb = lax.dynamic_index_in_dim(e, limb, axis=-1, keepdims=False)
+            digit = (elimb >> off) & (nent - 1)
+            ent = (
+                _select_ch(lax.dynamic_index_in_dim(tA, j, 0, keepdims=False), digit, nent),
+                _select_ch(lax.dynamic_index_in_dim(tB, j, 0, keepdims=False), digit, nent),
+                _select_ch(lax.dynamic_index_in_dim(tr, j, 0, keepdims=False), digit, nent),
+            )
+            return rns_montmul(acc, ent, ctx, cs)
+
+        acc = lax.fori_loop(0, nw, body, acc)
+    res = rns_montmul(
+        acc,
+        (jnp.ones_like(acc[0]), jnp.ones_like(acc[1]), jnp.ones_like(acc[2])),
+        ctx, cs,
+    )
+    xi = _mulmod_ch(res[0], cs.invMAk, cs.pA, cs.rA)
+    parts = _ext_dot(xi, cs.Wbin)
+    return parts[0][0], parts[0][1], parts[1][0], parts[1][1]
+
+
+def rns_make_tables(ctx: RnsCtx, n_ints, bases, max_ebits: int, nbits: int):
+    """Host wrapper: bases [k, ...batch] object ints -> per-base table
+    triples in RNS-Montgomery form."""
+    b = np.asarray(bases, dtype=object)
+    n_b = np.broadcast_to(np.asarray(n_ints, dtype=object), b.shape)
+    par = RnsParams(nbits)
+    x_l = jnp.asarray(batch_to_limbs(np.mod(b, n_b), par.Lin))
+    A, B, r = _to_residues_kernel(x_l, *par.dev_consts())
+    nw = -(-max_ebits // WINDOW)
+    # the k (bases) axis rides as a leading batch dim of one build launch
+    tA, tB, tr = _rns_make_fixed_table(A, B, r, ctx, nw=nw, nbits=nbits)
+    k = b.shape[0]
+    return [
+        (tA[:, :, i], tB[:, :, i], tr[:, :, i]) for i in range(k)
+    ]
+
+
+def rns_fixed_prod_dispatch(ctx: RnsCtx, n_ints, tables, exps, ebits_list, nbits: int):
+    """Launch the squaring-free fixed-base product; returns RnsLazy."""
+    exps = [np.asarray(e, dtype=object) for e in exps]
+    n_arr = np.asarray(n_ints, dtype=object)
+    shape = np.broadcast_shapes(n_arr.shape, *(e.shape for e in exps))
+    n_b = np.broadcast_to(n_arr, shape)
+    es = tuple(
+        jnp.asarray(batch_to_limbs(np.broadcast_to(e, shape), nlimbs(eb)))
+        for e, eb in zip(exps, ebits_list)
+    )
+    par = RnsParams(nbits)
+    parts = _rns_fixed_prod_kernel(
+        tuple(tables), es, ctx, ebits_list=tuple(ebits_list), nbits=nbits
+    )
+    return RnsLazy(parts=parts, shape=shape, n_b=n_b, MA=par.MA)
+
+
 import dataclasses as _dc
 
 
@@ -501,15 +614,17 @@ import dataclasses as _dc
 class RnsLazy:
     """Dispatched-but-undecoded RNS modexp (async counterpart of
     core.modctx.LazyInts): holds the device partial planes; ints() runs the
-    host-side exact recombination."""
+    host-side exact recombination.  `mults` are plain factors folded into
+    the decode loop (one host pass instead of decode + separate mulmod)."""
 
     parts: tuple
     shape: tuple
     n_b: np.ndarray
     MA: int
+    mults: tuple = ()
 
     def ints(self) -> np.ndarray:
-        return _rns_decode(self.parts, self.shape, self.n_b, self.MA)
+        return _rns_decode(self.parts, self.shape, self.n_b, self.MA, self.mults)
 
 
 def rns_exp_dispatch(ctx: RnsCtx, n_ints, base_ints, exp_ints, ebits: int) -> RnsLazy:
@@ -536,7 +651,7 @@ def rns_exp(ctx: RnsCtx, n_ints, base_ints, exp_ints, ebits: int) -> np.ndarray:
     return rns_exp_dispatch(ctx, n_ints, base_ints, exp_ints, ebits).ints()
 
 
-def _rns_decode(parts, shape, n_b, MA) -> np.ndarray:
+def _rns_decode(parts, shape, n_b, MA, mults=()) -> np.ndarray:
     p00, p01, p10, p11 = parts
     # exact recombination: columns < K*2^32 fit int64
     cols = (
@@ -562,6 +677,14 @@ def _rns_decode(parts, shape, n_b, MA) -> np.ndarray:
     v_ints = batch_from_limbs(canon)
     out = np.empty(flat.shape[0], dtype=object)
     flat_n = n_b.reshape(-1)
+    fl_m = [
+        np.broadcast_to(np.asarray(m, dtype=object), shape).reshape(-1)
+        for m in mults
+    ]
     for i in range(flat.shape[0]):
-        out[i] = (int(v_ints[i]) % MA) % int(flat_n[i])
+        nv = int(flat_n[i])
+        v = (int(v_ints[i]) % MA) % nv
+        for fm in fl_m:
+            v = v * int(fm[i]) % nv
+        out[i] = v
     return out.reshape(shape) if shape else out[0]

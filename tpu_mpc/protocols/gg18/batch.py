@@ -86,7 +86,7 @@ def keygen(S: int, t: int, n: int, rng: SessionRng, paillier_bits: int = 2048) -
     y_i = dec.mul_generator(_sc(u))
     p_fac, q_fac = gen_paillier_batch(S, n, paillier_bits, rng)
     ns = p_fac * q_fac
-    ek = PaillierCtxBatch.from_ints(ns, paillier_bits)
+    ek = PaillierCtxBatch.from_ints(ns, paillier_bits).attach_sk(p_fac, q_fac)
     dk = dp.BatchDecryptionKey.from_ints(p_fac, q_fac, paillier_bits)
 
     # --- round 1: broadcast com(y_i) + Paillier correct-key proof --------
@@ -165,7 +165,8 @@ def sign(key: LocalKeyBatch, s_parties: list[int], m_int, rng: SessionRng) -> Si
 
     # phase 1: commit to g_gamma_i (party_i.rs:408-424)
     blind1 = rng.bits(SECURITY, (S, tp))
-    com1 = commit_rows(point_hash_ints(g_gamma), blind1)
+    gg_ints = point_hash_ints(g_gamma)  # reused at the decommit check
+    com1 = commit_rows(gg_ints, blind1)
 
     # MtA pairs, off-diagonal PACKED [S, alice, tp-1] (see gg20 _peer_idx):
     # the dense eye-masked [S, tp, tp] layout wasted a diagonal of device
@@ -207,7 +208,7 @@ def sign(key: LocalKeyBatch, s_parties: list[int], m_int, rng: SessionRng) -> Si
     delta_inv = np.asarray([pow(int(d), -1, Q) for d in delta], dtype=object)
 
     # phase 4: decommit g_gamma, check b_proofs, R (party_i.rs:454-483)
-    com_ok = (commit_rows(point_hash_ints(g_gamma), blind1) == com1).all(axis=1)
+    com_ok = (commit_rows(gg_ints, blind1) == com1).all(axis=1)
     # b_proof pk (bob j's gamma) must equal decommitted g_gamma_j
     bp_pk = msg_b_gamma.b_proof.pk                   # [S, alice, tp-1] points
     gg_peers = dec.point_take(g_gamma, peers, 1)
@@ -316,7 +317,7 @@ def refresh_private_key(key: LocalKeyBatch, factor_ints, rng: SessionRng) -> Loc
         y=dec.point_sum(y_i_new, axis=1),
         p=p_fac,
         q=q_fac,
-        ek=PaillierCtxBatch.from_ints(ns, bits),
+        ek=PaillierCtxBatch.from_ints(ns, bits).attach_sk(p_fac, q_fac),
         dk=dp.BatchDecryptionKey.from_ints(p_fac, q_fac, bits),
     )
 

@@ -124,7 +124,7 @@ def keygen(
                 p_fac[s, pi] = primes.gen_prime(paillier_bits // 4, rng._r)
                 q_fac[s, pi] = primes.gen_prime(paillier_bits // 4, rng._r)
     ns = p_fac * q_fac
-    ek = PaillierCtxBatch.from_ints(ns, paillier_bits)
+    ek = PaillierCtxBatch.from_ints(ns, paillier_bits).attach_sk(p_fac, q_fac)
     dk = dp.BatchDecryptionKey.from_ints(p_fac, q_fac, paillier_bits)
     nt_ctx, h1, h2, xhi, xhi_inv, _phi_t = generate_h1_h2_n_tilde_batch(S, n, paillier_bits, rng)
     dlog_stmt = DlogStatementBatch(ctx=nt_ctx, h1=h1, h2=h2)
@@ -279,7 +279,8 @@ def offline_stage(
         g_gamma_dec = g_gamma
 
     blind1 = rng.bits(SECURITY, (S, tp))
-    com1 = commit_rows(point_hash_ints(g_gamma_dec), blind1)
+    gg_dec_ints = point_hash_ints(g_gamma_dec)  # reused at the decommit check
+    com1 = commit_rows(gg_dec_ints, blind1)
 
     ek_s = key.ek.take(s_parties, 1)
     stmt_s = key.dlog_stmt.take(s_parties, 1)         # [S, tp]
@@ -347,7 +348,7 @@ def offline_stage(
     # phase 3-4: delta reconstruction, decommit gamma, R
     delta = np.mod(np.sum(delta_i, axis=1), Q)
     delta_inv = np.asarray([pow(int(d), -1, Q) if int(d) else 0 for d in delta], dtype=object)
-    com_ok = (commit_rows(point_hash_ints(g_gamma_dec), blind1) == com1)
+    com_ok = (commit_rows(gg_dec_ints, blind1) == com1)
     gg_peers = dec.point_take(g_gamma_dec, peers, 1)
     pk_ok = np.asarray(dec.point_eq(msg_b_gamma.b_proof.pk, gg_peers))[
         :, iinv, kidx
@@ -449,7 +450,7 @@ def refresh_private_key(key: LocalKeyBatch20, factor_ints, rng: SessionRng) -> L
         y=dec.point_sum(y_i_new, axis=1),
         p=p_fac,
         q=q_fac,
-        ek=PaillierCtxBatch.from_ints(ns, bits),
+        ek=PaillierCtxBatch.from_ints(ns, bits).attach_sk(p_fac, q_fac),
         dk=dp.BatchDecryptionKey.from_ints(p_fac, q_fac, bits),
         dlog_stmt=stmt,
     )

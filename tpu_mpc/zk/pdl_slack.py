@@ -81,11 +81,15 @@ def pdl_slack_prove(x_ints, r_ints, stmt: PDLwSlackStatementBatch, rng) -> PDLwS
     # three independent device launches + the EC u1 path: dispatch all
     # before any sync (LazyInts), overlapping the tunnel round-trips
     z_l = stmt.dlog.pow_h1h2(x, rho, hints=(E_BITS, E_BITS + tb), sync=False)
-    # (N+1)^alpha mod N^2 == 1 + alpha*N (binomial identity): folded as a
-    # plain multiplier into beta^N — host-side mulmod eliminated
-    u2_l = stmt.ek.nn_ctx.pow(
-        beta, n, ebits_hint=stmt.ek.n_ctx.bits, sync=False
-    )
+    # (N+1)^alpha mod N^2 == 1 + alpha*N (binomial identity); beta^N takes
+    # the owner's CRT half-width path when available (the prover proves
+    # about its own ciphertext)
+    if stmt.ek.sk_ctx is not None:
+        u2_l = stmt.ek.pow_n_sk(beta, sync=False)
+    else:
+        u2_l = stmt.ek.nn_ctx.pow(
+            beta, n, ebits_hint=stmt.ek.n_ctx.bits, sync=False
+        )
     u3_l = stmt.dlog.pow_h1h2(alpha, gamma, hints=(768, 768 + tb), sync=False)
     u1_pt = dec.scalar_mul(dec.sc_from_ints(obj_mod(alpha, Q)), stmt.G_pt)
     u1x_l, u1y_l, _ = dec.to_affine(u1_pt)

@@ -52,6 +52,7 @@ class DlogStatementBatch:
     h1: np.ndarray
     h2: np.ndarray
     tables: tuple | None = None   # (T1, T2), batch dims at positions 2..-2
+    tables_rns: tuple | None = None  # ((tA,tB,tr) x2) RNS-form tables
 
     @classmethod
     def from_ints(cls, n_tildes, h1s, h2s, bits: int = 2048):
@@ -73,6 +74,23 @@ class DlogStatementBatch:
         group's [1, n] statements serving thousands of sessions.  For large
         all-distinct batches this is a no-op and callers fall back to the
         shared-squaring pow_prod path."""
+        from ..core.modctx import rns_enabled
+
+        if rns_enabled():
+            # accelerator path: RNS tables (MXU montmuls, ~1.4x the CIOS
+            # fixed-base rate at 2048-bit — r3 measured matrix)
+            if self.tables_rns is None:
+                nstat = int(np.prod(self.ctx.batch_shape)) if self.ctx.batch_shape else 1
+                if nstat > self._TABLE_MAX_BASES:
+                    return self
+                stacked = np.stack(
+                    [np.broadcast_to(self.h1, self.ctx.batch_shape),
+                     np.broadcast_to(self.h2, self.ctx.batch_shape)]
+                )
+                self.tables_rns = tuple(
+                    self.ctx.make_tables_rns(stacked, max_ebits=768 + self.ctx.bits + 16)
+                )
+            return self
         if self.tables is None:
             nstat = int(np.prod(self.ctx.batch_shape)) if self.ctx.batch_shape else 1
             if nstat > self._TABLE_MAX_BASES:
@@ -89,7 +107,9 @@ class DlogStatementBatch:
         """h1^e1 * h2^e2 mod N_tilde — fixed-base path when tables exist.
         hints (required) are exponent bit-widths from the sampling domain /
         clamped field width, never measured from values (ADVICE r1).
-        sync=False: async dispatch, returns LazyInts (core.modctx)."""
+        sync=False: async dispatch, returns a lazy handle (core.modctx)."""
+        if self.tables_rns is not None:
+            return self.ctx.pow_fixed_prod_rns(self.tables_rns, [e1, e2], hints, sync=sync)
         if self.tables is not None:
             return self.ctx.pow_fixed_prod(self.tables, [e1, e2], hints, sync=sync)
         return self.ctx.pow_prod([self.h1, self.h2], [e1, e2], ebits_hints=hints, sync=sync)
@@ -97,24 +117,28 @@ class DlogStatementBatch:
     def take(self, indices, axis: int) -> "DlogStatementBatch":
         import jax.numpy as jnp
 
+        tk = lambda T: jnp.take(T, jnp.asarray(indices), axis=2 + axis)
         return DlogStatementBatch(
             ctx=self.ctx.take(indices, axis),
             h1=np.take(self.h1, indices, axis=axis),
             h2=np.take(self.h2, indices, axis=axis),
-            tables=None if self.tables is None else tuple(
-                jnp.take(T, jnp.asarray(indices), axis=2 + axis) for T in self.tables
+            tables=None if self.tables is None else tuple(tk(T) for T in self.tables),
+            tables_rns=None if self.tables_rns is None else tuple(
+                tuple(tk(c) for c in T) for T in self.tables_rns
             ),
         )
 
     def expand(self, axis: int) -> "DlogStatementBatch":
         import jax.numpy as jnp
 
+        ex = lambda T: jnp.expand_dims(T, 2 + axis)
         return DlogStatementBatch(
             ctx=self.ctx.expand(axis),
             h1=np.expand_dims(self.h1, axis),
             h2=np.expand_dims(self.h2, axis),
-            tables=None if self.tables is None else tuple(
-                jnp.expand_dims(T, 2 + axis) for T in self.tables
+            tables=None if self.tables is None else tuple(ex(T) for T in self.tables),
+            tables_rns=None if self.tables_rns is None else tuple(
+                tuple(ex(c) for c in T) for T in self.tables_rns
             ),
         )
 
@@ -123,6 +147,8 @@ class DlogStatementBatch:
         return DlogStatementBatch(
             ctx=self.ctx, h1=self.h2, h2=self.h1,
             tables=None if self.tables is None else (self.tables[1], self.tables[0]),
+            tables_rns=None if self.tables_rns is None
+            else (self.tables_rns[1], self.tables_rns[0]),
         )
 
     def tile(self, S: int) -> "DlogStatementBatch":
@@ -134,15 +160,27 @@ class DlogStatementBatch:
             h1=tile_np(self.h1),
             h2=tile_np(self.h2),
             tables=self.tables,
+            tables_rns=self.tables_rns,
         )
 
 
 @dataclasses.dataclass
 class PaillierCtxBatch:
-    """Alice's Paillier public key batch with device ctxs for N and N^2."""
+    """Alice's Paillier public key batch with device ctxs for N and N^2.
+
+    When the holder IS the key owner, attach_sk installs a stacked
+    half-width context over (p^2, q^2): x^N mod N^2 then runs as two
+    2048-bit modexps in one launch + a host CRT recombination (pow_n_sk)
+    — measured ~2.9x modexp/s at half width, so ~1.4x end-to-end on every
+    prover-side self-encryption (c_a, alice_prove beta^N, PDLwSlack u2).
+    Public-verifier paths never see the sk fields."""
 
     n_ctx: ModCtx
     nn_ctx: ModCtx
+    sk_ctx: ModCtx | None = None     # [2, ...batch] ctx over (p^2, q^2)
+    sk_e: np.ndarray | None = None   # [2, ...batch] N mod p(p-1) / q(q-1)
+    sk_pp: np.ndarray | None = None  # [...batch] p^2
+    sk_cr: np.ndarray | None = None  # [...batch] (p^2)^{-1} mod q^2
 
     @classmethod
     def from_ints(cls, ns, bits: int = 2048):
@@ -152,6 +190,52 @@ class PaillierCtxBatch:
             nn_ctx=ModCtx.from_ints(ns * ns, 2 * bits),
         )
 
+    def attach_sk(self, ps, qs) -> "PaillierCtxBatch":
+        """Install the owner's CRT fast path (ps*qs must equal n)."""
+        p = np.asarray(ps, dtype=object)
+        q = np.asarray(qs, dtype=object)
+        pp, qq = p * p, q * q
+        self.sk_ctx = ModCtx.from_ints(np.stack([pp, qq]), self.n_ctx.bits)
+        n = self.n
+        self.sk_e = np.stack([
+            np.vectorize(lambda nv, pv: int(nv) % (int(pv) * (int(pv) - 1)),
+                         otypes=[object])(n, p),
+            np.vectorize(lambda nv, qv: int(nv) % (int(qv) * (int(qv) - 1)),
+                         otypes=[object])(n, q),
+        ])
+        self.sk_pp = pp
+        self.sk_cr = np.vectorize(lambda a, b: pow(int(a), -1, int(b)),
+                                  otypes=[object])(pp, qq)
+        return self
+
+    def pow_n_sk(self, base, sync: bool = True):
+        """base^N mod N^2 via the attached sk (see class docstring)."""
+        from ..core.modctx import LazyMap, resolve
+
+        base = np.asarray(base, dtype=object)
+        shape = np.broadcast_shapes(base.shape, self.n_ctx.batch_shape)
+        halves_l = self.sk_ctx.pow(
+            base[None], self.sk_e, ebits_hint=self.n_ctx.bits, sync=False
+        )
+        pp = np.broadcast_to(self.sk_pp, shape)
+        cr = np.broadcast_to(self.sk_cr, shape)
+        qq_arr = np.broadcast_to(self.sk_ctx.n_ints[1], shape)
+
+        def combine(halves):
+            rp = np.broadcast_to(halves[0], shape).reshape(-1)
+            rq = np.broadcast_to(halves[1], shape).reshape(-1)
+            fpp = pp.reshape(-1)
+            fcr = cr.reshape(-1)
+            fqq = qq_arr.reshape(-1)
+            out = np.empty(rp.shape[0], dtype=object)
+            for i in range(rp.shape[0]):
+                d = (int(rq[i]) - int(rp[i])) * int(fcr[i]) % int(fqq[i])
+                out[i] = int(rp[i]) + int(fpp[i]) * d
+            return out.reshape(shape)
+
+        lz = LazyMap(halves_l, combine)
+        return resolve(lz) if sync else lz
+
     @property
     def n(self):
         return self.n_ctx.n_ints
@@ -160,16 +244,38 @@ class PaillierCtxBatch:
     def nn(self):
         return self.nn_ctx.n_ints
 
-    def take(self, indices, axis: int) -> "PaillierCtxBatch":
+    def _map(self, fn_mod, fn_np) -> "PaillierCtxBatch":
         return PaillierCtxBatch(
-            n_ctx=self.n_ctx.take(indices, axis), nn_ctx=self.nn_ctx.take(indices, axis)
+            n_ctx=fn_mod(self.n_ctx),
+            nn_ctx=fn_mod(self.nn_ctx),
+            sk_ctx=None if self.sk_ctx is None else fn_mod(self.sk_ctx, lead=1),
+            sk_e=None if self.sk_e is None else fn_np(self.sk_e, lead=1),
+            sk_pp=None if self.sk_pp is None else fn_np(self.sk_pp, lead=0),
+            sk_cr=None if self.sk_cr is None else fn_np(self.sk_cr, lead=0),
+        )
+
+    def take(self, indices, axis: int) -> "PaillierCtxBatch":
+        return self._map(
+            lambda c, lead=0: c.take(indices, axis + lead),
+            lambda a, lead=0: np.take(a, indices, axis=axis + lead),
         )
 
     def expand(self, axis: int) -> "PaillierCtxBatch":
-        return PaillierCtxBatch(n_ctx=self.n_ctx.expand(axis), nn_ctx=self.nn_ctx.expand(axis))
+        return self._map(
+            lambda c, lead=0: c.expand(axis + lead),
+            lambda a, lead=0: np.expand_dims(a, axis + lead),
+        )
 
     def tile(self, S: int) -> "PaillierCtxBatch":
-        return PaillierCtxBatch(n_ctx=self.n_ctx.tile(S), nn_ctx=self.nn_ctx.tile(S))
+        # sk leaves keep their [2, 1, ...] batch and broadcast in-kernel
+        return PaillierCtxBatch(
+            n_ctx=self.n_ctx.tile(S),
+            nn_ctx=self.nn_ctx.tile(S),
+            sk_ctx=self.sk_ctx,
+            sk_e=self.sk_e,
+            sk_pp=self.sk_pp,
+            sk_cr=self.sk_cr,
+        )
 
 
 from ..core.modctx import host_mulmod as _mulmod  # noqa: E402 (re-export)
@@ -274,11 +380,16 @@ def alice_prove(a_ints, cipher, ek: PaillierCtxBatch, stmt: DlogStatementBatch, 
     )
     from ..core.modctx import resolve
 
-    # dispatch all three independent launches before any sync (LazyInts)
+    # dispatch all three independent launches before any sync (LazyInts);
+    # beta^N takes the owner's CRT half-width path when available (the
+    # prover encrypts under its own key)
     z_l = stmt.pow_h1h2(a, rho, hints=(a_bits, E_BITS + tb), sync=False)
-    beta_n_l = ek.nn_ctx.pow(
-        beta, np.broadcast_to(ek.n, shape), ebits_hint=ek.n_ctx.bits, sync=False
-    )
+    if ek.sk_ctx is not None:
+        beta_n_l = ek.pow_n_sk(beta, sync=False)
+    else:
+        beta_n_l = ek.nn_ctx.pow(
+            beta, np.broadcast_to(ek.n, shape), ebits_hint=ek.n_ctx.bits, sync=False
+        )
     w_l = stmt.pow_h1h2(alpha, gamma, hints=(768, 768 + tb), sync=False)
     u = _mulmod(
         alpha * np.broadcast_to(ek.n, shape) + 1, resolve(beta_n_l),

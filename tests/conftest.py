@@ -3,6 +3,13 @@
 Real TPU hardware is exercised by bench.py; tests must be hermetic and
 exercise the multi-chip sharding path via xla_force_host_platform_device_count
 (the same mechanism the driver's dryrun uses).
+
+RUN VIA `make test` (one pytest process per file): this environment's
+jaxlib CPU backend segfaults compiling a fresh kernel after roughly 30-40
+tests' worth of accumulated in-process compiled programs — a single
+`pytest tests/` process crashes partway through (reproduced at different
+tests purely as a function of compile count), while every file passes in
+isolation.
 """
 
 import os

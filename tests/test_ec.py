@@ -93,3 +93,51 @@ def test_x_coord_mod_q(rng):
     got = ints(ec.x_coord_mod_q(R))
     want = [hec.mul(kk)[0] % hec.N for kk in ks]
     assert got == want
+
+
+def test_glv_constants():
+    """Pin the GLV lattice algebra: lambda^2 + lambda + 1 = 0 mod q,
+    beta^3 = 1 mod p, and a_i + b_i lambda = 0 mod q (libsecp constants)."""
+    q, p = hec.N, hec.P
+    lam, beta = ec.GLV_LAMBDA, ec.GLV_BETA
+    assert (lam * lam + lam + 1) % q == 0
+    assert pow(beta, 3, p) == 1
+    a1, b2, nb1 = ec._GLV_B2, ec._GLV_B2, ec._GLV_NB1
+    a2 = 0x114CA50F7A8E2F3F657C1108D9D44CFD8
+    assert (a1 - nb1 * lam) % q == 0
+    assert (a2 + b2 * lam) % q == 0
+    assert a1 * b2 + a2 * nb1 == q  # basis determinant = q
+
+
+def test_glv_scalar_mul_edges_and_random(rng):
+    """GLV path vs the host oracle on adversarial-ish scalars: 0, 1, q-1,
+    lambda itself, and random — plus the endomorphism identity
+    lambda*P = (beta x, y)."""
+    q = hec.N
+    ks = [0, 1, 2, q - 1, ec.GLV_LAMBDA, q - ec.GLV_LAMBDA] + [
+        rng.getrandbits(256) % q for _ in range(6)
+    ]
+    base = hec.mul(31337)
+    P = ec.points_from_host([base] * len(ks))
+    got = ec.points_to_host(ec.scalar_mul(fe(ks), P))
+    for g, kk in zip(got, ks):
+        assert g == (hec.mul(31337 * kk) if kk % q else None)
+    lamP = ec.points_to_host(ec.scalar_mul(fe([ec.GLV_LAMBDA]), ec.points_from_host([base])))[0]
+    assert lamP == (ec.GLV_BETA * base[0] % hec.P, base[1])
+
+
+def test_dual_mul_matches_separate(rng):
+    q = hec.N
+    n = 5
+    ka = [rng.getrandbits(256) % q for _ in range(n)]
+    kb = [rng.getrandbits(256) % q for _ in range(n)] ; kb[0] = 0
+    pa = [hec.mul(rng.getrandbits(128) | 1) for _ in range(n)]
+    pb = [hec.mul(rng.getrandbits(128) | 1) for _ in range(n)]
+    out = ec.dual_mul(
+        fe(ka), ec.points_from_host(pa), fe(kb), ec.points_from_host(pb)
+    )
+    got = ec.points_to_host(out)
+    for i in range(n):
+        want = hec.add(hec.mul(ka[i], pa[i]) if ka[i] else None,
+                       hec.mul(kb[i], pb[i]) if kb[i] else None)
+        assert got[i] == want

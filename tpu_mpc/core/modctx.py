@@ -70,7 +70,8 @@ def profile_summary(reset: bool = True) -> str:
 # exponent-width ladder (bits): actual exponents are zero-padded up to the
 # next class; extra windows square zeros, costing ~0-15% over exact width.
 EBITS_CLASSES = (
-    16, 64, 256, 512, 776, 1024, 1552, 2048, 2320, 2576, 2832, 3104, 4096
+    16, 64, 128, 256, 384, 512, 776, 1024, 1552, 2048, 2320, 2576, 2832, 3104,
+    4096
 )
 
 _MIN_BATCH = 4

@@ -514,19 +514,27 @@ def _rns_make_fixed_table(xA, xB, xr, ctx: RnsCtx, nw: int, nbits: int):
     xm = rns_montmul((xA, xB, xr), (ctx.r2A, ctx.r2B, ctx.r2_r), ctx, cs)
     xm = tuple(jnp.broadcast_to(c, o.shape) for c, o in zip(xm, one))
 
-    def step(b, _):
-        entries = [one, b]
-        for _ in range(nent - 2):
-            entries.append(rns_montmul(entries[-1], b, ctx, cs))
+    # phase 1 — the only serial dependency: window bases W[j] = x^(16^j)
+    # (4 squarings per window).  Collecting entries inside this scan made
+    # the build 19 serial montmuls per window (~11k serial ops, minutes of
+    # wall per table at 4096-bit); entries don't need to be serial per
+    # window, so phase 2 computes E[d] = E[d-1] * W batched over the whole
+    # [nw] window axis: serial depth drops to 4*nw + 14.
+    def sq_step(b, _):
         nxt = b
         for _ in range(WINDOW):
             nxt = rns_montmul(nxt, nxt, ctx, cs)
-        return nxt, tuple(
-            jnp.stack([e[c] for e in entries]) for c in range(3)
-        )
+        return nxt, b
 
-    _, tabs = lax.scan(step, xm, None, length=nw)
-    return tabs  # (tA, tB, tr)
+    _, W = lax.scan(sq_step, xm, None, length=nw)   # triple of [nw, ..., K]
+
+    one_b = tuple(jnp.broadcast_to(c, w.shape) for c, w in zip(one, W))
+    entries = [one_b, W]
+    for _ in range(nent - 2):
+        entries.append(rns_montmul(entries[-1], W, ctx, cs))
+    return tuple(
+        jnp.stack([e[c] for e in entries], axis=1) for c in range(3)
+    )  # (tA, tB, tr), each [nw, nent, ...]
 
 
 @functools.partial(jax.jit, static_argnames=("ebits_list", "nbits"))

@@ -410,48 +410,167 @@ def mul_base_point2(k):
     return mul_fixed_base(k, hec.BASE_POINT2, "ec:mulH2")
 
 
+# ---- GLV endomorphism (j-invariant 0) -------------------------------------
+# k*P = k1*P + k2*phi(P) with phi(x, y) = (beta x, y) and |k1|, |k2| < 2^129:
+# halves the doubling count of every variable-base scalar multiplication
+# (the r3 profile's named lever; curv does plain double-and-add here).
+# Standard secp256k1 lattice constants (algebra pinned in tests/test_ec.py:
+# lambda^2 + lambda + 1 = 0 mod q, beta^3 = 1 mod p, a_i + b_i lambda = 0).
+GLV_LAMBDA = 0x5363AD4CC05C30E0A5261C028812645A122E22EA20816678DF02967C1B23BD72
+GLV_BETA = 0x7AE96A2B657C07106E64479EAC3434E99CF0497512F58995C1396C28719501EE
+_GLV_NB1 = 0xE4437ED6010E88286F547FA90ABFE4C3       # -b1 (b1 < 0)
+_GLV_B2 = 0x3086D221A7D46BCDE86C90E49284EB15        # = a1
+_GLV_SHIFT = 384  # rounding division: c_i = (k * g_i + 2^383) >> 384
+_GLV_G1 = ((_GLV_B2 << _GLV_SHIFT) + Q_INT // 2) // Q_INT
+_GLV_G2 = ((_GLV_NB1 << _GLV_SHIFT) + Q_INT // 2) // Q_INT
+GLV_WINDOWS = 33  # ceil(129 / WINDOW): covers the split bound
+
+_LAM_LIMBS = jnp.asarray(batch_to_limbs(GLV_LAMBDA, L))
+_BETA_LIMBS = jnp.asarray(batch_to_limbs(GLV_BETA, L))
+_NB1_LIMBS = jnp.asarray(batch_to_limbs(_GLV_NB1, L))
+_NB2_LIMBS = jnp.asarray(batch_to_limbs(Q_INT - _GLV_B2, L))
+_G1_LIMBS = jnp.asarray(batch_to_limbs(_GLV_G1, L))
+_G2_LIMBS = jnp.asarray(batch_to_limbs(_GLV_G2, L))
+
+
+def _glv_split(k):
+    """Canonical k < q -> (|k1|, neg1, |k2|, neg2) with
+    k = (-1)^neg1 |k1| + lambda (-1)^neg2 |k2| mod q and |k_i| < 2^129.
+
+    Rounded division by q is a multiply by the precomputed 2^384-scaled
+    reciprocals (libsecp's split_lambda shape), so the whole decomposition
+    is mul/add limb work — branch-free, secret-safe."""
+
+    def c_of(gl):
+        cols = bi.mul_cols(k, gl)                          # [..., 32] columns
+        cols = cols.at[..., 23].add(jnp.uint32(1 << 15))   # + 2^383 rounding
+        return bi.pad_to(bi.carry_canon(cols)[..., 24:], L)  # >> 384
+
+    c1 = c_of(_G1_LIMBS)
+    c2 = c_of(_G2_LIMBS)
+    k2 = bi.mod_add(sc_mul(c1, _NB1_LIMBS), sc_mul(c2, _NB2_LIMBS), Q_LIMBS)
+    k1 = sc_sub(k, sc_mul(k2, _LAM_LIMBS))
+
+    def short(x):
+        # valid shorts are < 2^129; the other branch is q - short > 2^255
+        neg = ~bi.is_zero(x[..., 9:])
+        return bi.select(neg, bi.mod_neg(x, Q_LIMBS), x), neg
+
+    k1s, n1 = short(k1)
+    k2s, n2 = short(k2)
+    return k1s, n1, k2s, n2
+
+
+def _base_table(p: Point, batch):
+    """[16, batch, L] Jacobian table of d*P, d = 0..15 (entry 0 = infinity),
+    via lax.scan so the add body is traced once (small graph/compile)."""
+
+    def step(prev, _):
+        nxt = point_add(prev, p)
+        return nxt, nxt
+
+    _, tail = lax.scan(step, point_infinity(batch), None, length=(1 << WINDOW) - 1)
+    inf = point_infinity(batch)
+    return (
+        jnp.concatenate([inf.X[None], tail.X], axis=0),
+        jnp.concatenate([inf.Y[None], tail.Y], axis=0),
+        jnp.concatenate([inf.Z[None], tail.Z], axis=0),
+    )
+
+
+def _glv_stream_tables(p: Point, batch, n1, n2):
+    """One 15-add table scan serves both GLV streams: d*(±P) flips Y, and
+    phi(d*(±P)) = (beta X, ±Y, Z) is an elementwise map."""
+    tX, tY, tZ = _base_table(p, batch)
+    negY = bi.mod_neg(tY, P_LIMBS)
+    pickY = lambda f: bi.select(jnp.broadcast_to(f, tX.shape[:-1]), negY, tY)
+    return (tX, pickY(n1), tZ), (fe_mul(tX, _BETA_LIMBS), pickY(n2), tZ)
+
+
+def _sel_entry(table, digit, batch):
+    tX, tY, tZ = table
+    nent = 1 << WINDOW
+    ks = jnp.arange(nent, dtype=U32).reshape((nent,) + (1,) * (len(batch) + 1))
+    mask = digit[None, ..., None] == ks
+    pick = lambda t: jnp.sum(jnp.where(mask, t, jnp.uint32(0)), axis=0)
+    return Point(pick(tX), pick(tY), pick(tZ))
+
+
+def _digit_at(ks, wj):
+    bitpos = wj * WINDOW
+    limb = bitpos // LIMB_BITS
+    off = bitpos % LIMB_BITS
+    elimb = lax.dynamic_index_in_dim(ks, limb, axis=-1, keepdims=False)
+    return (elimb >> off) & ((1 << WINDOW) - 1)
+
+
 @jax.jit
 def _scalar_mul_jit(k, p: Point) -> Point:
-    """k * P, fixed 4-bit windows, 64 fixed iterations, branch-free select.
+    """k * P via GLV + interleaved 4-bit windows: 33 iterations (132
+    doublings + 66 adds) instead of the 64 (256 + 64) of the plain ladder.
 
     k: [..., 16] canonical scalar limbs (< q); p: Point batch.
     """
     batch = jnp.broadcast_shapes(k.shape[:-1], p.X.shape[:-1])
     k = jnp.broadcast_to(k, batch + (L,))
     p = Point(*(jnp.broadcast_to(c, batch + (L,)) for c in p))
-    nent = 1 << WINDOW
-
-    # table [i] = i*P via lax.scan — the add body is traced exactly once,
-    # keeping the graph (and XLA compile time) small
-    def step(prev, _):
-        nxt = point_add(prev, p)
-        return nxt, nxt
-
-    _, tail = lax.scan(step, point_infinity(batch), None, length=nent - 1)
-    inf = point_infinity(batch)
-    tX = jnp.concatenate([inf.X[None], tail.X], axis=0)
-    tY = jnp.concatenate([inf.Y[None], tail.Y], axis=0)
-    tZ = jnp.concatenate([inf.Z[None], tail.Z], axis=0)
-    nw = 256 // WINDOW
-
-    def sel(digit):
-        ks = jnp.arange(nent, dtype=U32).reshape((nent,) + (1,) * (len(batch) + 1))
-        mask = digit[None, ..., None] == ks
-        pick = lambda t: jnp.sum(jnp.where(mask, t, jnp.uint32(0)), axis=0)
-        return Point(pick(tX), pick(tY), pick(tZ))
+    k1s, n1, k2s, n2 = _glv_split(k)
+    T1, T2 = _glv_stream_tables(p, batch, n1, n2)
 
     def body(j, acc):
-        wj = nw - 1 - j
-        bitpos = wj * WINDOW
-        limb = bitpos // LIMB_BITS
-        off = bitpos % LIMB_BITS
-        elimb = lax.dynamic_index_in_dim(k, limb, axis=-1, keepdims=False)
-        digit = (elimb >> off) & (nent - 1)
+        wj = GLV_WINDOWS - 1 - j
         for _ in range(WINDOW):
             acc = point_double(acc)
-        return point_add(acc, sel(digit))
+        acc = point_add(acc, _sel_entry(T1, _digit_at(k1s, wj), batch))
+        return point_add(acc, _sel_entry(T2, _digit_at(k2s, wj), batch))
 
-    return lax.fori_loop(0, nw, body, point_infinity(batch))
+    return lax.fori_loop(0, GLV_WINDOWS, body, point_infinity(batch))
+
+
+@jax.jit
+def _dual_mul_jit(ka, pa: Point, kb, pb: Point) -> Point:
+    """ka * PA + kb * PB in ONE interleaved GLV ladder (4 digit streams over
+    33 shared doubling windows) — the joint-Straus evaluation for two-term
+    verify equations (z H + z2 Y, s1 G + (q-e) Q, ...)."""
+    batch = jnp.broadcast_shapes(
+        ka.shape[:-1], pa.X.shape[:-1], kb.shape[:-1], pb.X.shape[:-1]
+    )
+    ka = jnp.broadcast_to(ka, batch + (L,))
+    kb = jnp.broadcast_to(kb, batch + (L,))
+    pa = Point(*(jnp.broadcast_to(c, batch + (L,)) for c in pa))
+    pb = Point(*(jnp.broadcast_to(c, batch + (L,)) for c in pb))
+    a1s, an1, a2s, an2 = _glv_split(ka)
+    b1s, bn1, b2s, bn2 = _glv_split(kb)
+    TA1, TA2 = _glv_stream_tables(pa, batch, an1, an2)
+    TB1, TB2 = _glv_stream_tables(pb, batch, bn1, bn2)
+
+    def body(j, acc):
+        wj = GLV_WINDOWS - 1 - j
+        for _ in range(WINDOW):
+            acc = point_double(acc)
+        for T, ks in ((TA1, a1s), (TA2, a2s), (TB1, b1s), (TB2, b2s)):
+            acc = point_add(acc, _sel_entry(T, _digit_at(ks, wj), batch))
+        return acc
+
+    return lax.fori_loop(0, GLV_WINDOWS, body, point_infinity(batch))
+
+
+def dual_mul(ka, pa: Point, kb, pb: Point) -> Point:
+    """ka * PA + kb * PB, batched, canonical batch shapes (see scalar_mul):
+    ~1.5x over two scalar_muls + add for the two-term verify equations."""
+    from ..core.modctx import prof_call
+
+    batch = jnp.broadcast_shapes(
+        ka.shape[:-1], pa.X.shape[:-1], kb.shape[:-1], pb.X.shape[:-1]
+    )
+    kaf = _canon_flatten(ka, batch)
+    kbf = _canon_flatten(kb, batch)
+    paf = Point(*(_canon_flatten(c, batch) for c in pa))
+    pbf = Point(*(_canon_flatten(c, batch) for c in pb))
+    out = prof_call(
+        "ec:dmul", kaf.shape[0], 256, lambda: _dual_mul_jit(kaf, paf, kbf, pbf)
+    )
+    return Point(*(_canon_unflatten(c, batch) for c in out))
 
 
 @jax.jit

@@ -30,7 +30,6 @@ from ..zk.range_proofs import (
     PaillierCtxBatch,
     _mulmod,
     alice_prove,
-    alice_verify,
     bob_prove,
     bob_verify,
 )
@@ -38,15 +37,20 @@ from ..zk.range_proofs import (
 Q = hec.N
 
 
-def paillier_encrypt_ints(ek: PaillierCtxBatch, m, r) -> np.ndarray:
+def paillier_encrypt_ints(ek: PaillierCtxBatch, m, r, rn=None) -> np.ndarray:
     """(1 + m n) r^n mod n^2 on object ints (device modexp).
 
-    Key owners (attach_sk) take the CRT half-width path for r^n — same
-    ciphertext, ~1.4x faster (PaillierCtxBatch.pow_n_sk)."""
+    rn: optionally the precomputed r^n (randomizer-table sampling,
+    PaillierCtxBatch.sample_unit_with_power).  Key owners (attach_sk)
+    otherwise take the CRT half-width path for r^n."""
+    from ..core.modctx import resolve
+
     m = np.asarray(m, dtype=object)
     shape = np.broadcast_shapes(m.shape, np.shape(r), ek.n_ctx.batch_shape)
     n = np.broadcast_to(ek.n, shape)
-    if ek.sk_ctx is not None:
+    if rn is not None:
+        rn = resolve(rn)
+    elif ek.sk_ctx is not None:
         rn = ek.pow_n_sk(r)
     else:
         rn = ek.nn_ctx.pow(r, n, ek.n_ctx.bits)
@@ -152,18 +156,28 @@ def message_b(
 
     alice_ok = None
     if alice_proofs is not None and own_stmt is not None:
-        alice_ok = alice_verify(alice_proofs, msg_a_c, ek, own_stmt)
+        # cross-session batched check when the sessions axis shares one key
+        # set (production pattern); transparent per-session fallback inside
+        from ..zk.batch_verify import alice_verify_fast
+
+        alice_ok = alice_verify_fast(alice_proofs, msg_a_c, ek, own_stmt)
 
     # force object dtype: for scalar shapes rng returns bare python ints and
     # np.mod on a raw bigint overflows C long
     beta_tag = np.asarray(rng.below(n, shape), dtype=object)
-    randomness = np.asarray(rng.below(n, shape), dtype=object)
     # Enc(beta') and c_a^b are independent launches: dispatch both async,
-    # run the EC dlog proofs while they fly, decode last
+    # run the EC dlog proofs while they fly, decode last.  Bob encrypts
+    # under ALICE's key: the randomizer tables (when built) replace the
+    # only remaining full-width r^N here.
     from ..core.modctx import resolve
 
     nn = np.broadcast_to(ek.nn, shape)
-    rn_l = ek.nn_ctx.pow(randomness, n, ek.n_ctx.bits, sync=False)
+    if ek.enc_tab_g is not None:
+        randomness, rn_l = ek.sample_unit_with_power(shape, rng, sync=False)
+        randomness = np.asarray(randomness, dtype=object)
+    else:
+        randomness = np.asarray(rng.below(n, shape), dtype=object)
+        rn_l = ek.nn_ctx.pow(randomness, n, ek.n_ctx.bits, sync=False)
     b_ca_l = ek.nn_ctx.pow(msg_a_c, b_arr, 256, sync=False)
     # vectorize keeps object dtype even for 0-d shapes (np.mod on a 0-d
     # object array collapses to a raw bigint and overflows C long)
@@ -201,14 +215,26 @@ def message_b(
 
 
 def verify_proofs_get_alpha(
-    dk: dp.BatchDecryptionKey, msg_b: MessageBBatch, a_ints, batch_shape
+    dk: dp.BatchDecryptionKey, msg_b: MessageBBatch, a_ints, batch_shape,
+    ek_sk: PaillierCtxBatch | None = None,
 ):
     """Alice decrypts alpha and checks Bob's dlog proofs + the EC identity
     b*a*G + beta'G == alpha G  (mta/mod.rs:160-179).
 
+    ek_sk: alice's PaillierCtxBatch with attach_sk — when given (and the
+    RNS backend is active) decryption takes the ModCtx decrypt_sk path
+    (RNS/MXU kernels, measured faster than the CIOS limb decrypt).
+
     -> (alpha mod q ints, alpha_raw ints, ok mask)
     """
-    alpha_raw = paillier_decrypt_ints(dk, msg_b.c, batch_shape)
+    from ..core.modctx import rns_enabled
+
+    if ek_sk is not None and ek_sk.sk_p is not None and rns_enabled():
+        alpha_raw = np.broadcast_to(
+            np.asarray(ek_sk.decrypt_sk(msg_b.c), dtype=object), batch_shape
+        )
+    else:
+        alpha_raw = paillier_decrypt_ints(dk, msg_b.c, batch_shape)
     alpha = np.mod(alpha_raw, Q)
     ok = sigma.dlog_verify(msg_b.b_proof) & sigma.dlog_verify(msg_b.beta_tag_proof)
     g_alpha = dec.mul_generator(dec.sc_from_ints(alpha))

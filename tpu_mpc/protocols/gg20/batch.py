@@ -44,7 +44,6 @@ from ...zk.pdl_slack import (
     PDLwSlackProofBatch,
     PDLwSlackStatementBatch,
     pdl_slack_prove,
-    pdl_slack_verify,
 )
 from ...zk.range_proofs import DlogStatementBatch, PaillierCtxBatch
 from ..gg18.batch import _dk_take, _sc, gen_paillier_batch
@@ -110,11 +109,16 @@ class KeygenResult20:
 
 def keygen(
     S: int, t: int, n: int, rng: SessionRng, paillier_bits: int = 2048,
-    corrupt: dict | None = None,
+    corrupt: dict | None = None, safe_primes: bool = False,
 ) -> KeygenResult20:
+    """safe_primes=True draws the Paillier factors as safe primes
+    (Keys::create_safe_prime, gg_2020/party_i.rs:180-196); the ring-Pedersen
+    N_tilde stays on random primes either way, exactly like the reference's
+    generate_h1_h2_N_tilde (party_i.rs:137-140 — its safe-prime call is
+    commented out there too)."""
     u = rng.scalars((S, n))
     y_i = dec.mul_generator(_sc(u))
-    p_fac, q_fac = gen_paillier_batch(S, n, paillier_bits, rng)
+    p_fac, q_fac = gen_paillier_batch(S, n, paillier_bits, rng, safe=safe_primes)
     if corrupt and corrupt.get("small_paillier"):
         # fault injection: a party presents an undersized Paillier modulus —
         # its proofs are honest for that key, so ONLY the bit-length policy
@@ -181,8 +185,10 @@ def keygen(
     bad = ~(com_ok & ck_ok & cd_ok & bitlen_ok & vss_ok & c0_ok & dlog_ok & xi_ok)
     # precompute the h1/h2 fixed-base tables while the statement batch is
     # still small (pre-tiling): every ring-Pedersen op in later signing then
-    # runs squaring-free (range_proofs.rs:58-67 pattern, done once per key)
+    # runs squaring-free (range_proofs.rs:58-67 pattern, done once per key).
+    # Likewise the Paillier randomizer-base tables (env-gated; THREAT_MODEL §7).
     dlog_stmt.ensure_tables()
+    ek.ensure_enc_tables()
     key = LocalKeyBatch20(
         S=S, t=t, n=n, paillier_bits=paillier_bits,
         p=p_fac, q=q_fac, ek=ek, dk=dk, dlog_stmt=dlog_stmt,
@@ -243,6 +249,20 @@ class OfflineState:
     debug_masks: dict = None      # per-check masks (diagnostics)
     g_gamma_decommit: dec.Point = None  # phase-4 decommitted points (blame input)
 
+    def scrub(self) -> None:
+        """Zeroize the one-time secrets in place after the online round —
+        the zeroize-on-drop analog (range_proofs.rs:26-27; the reference
+        scrubs MtA round-1 state on drop).  The blame inputs are scrubbed
+        too, so call only after a SUCCESSFUL sign; an aborted session needs
+        them for the phase-5/6/7 blame replays."""
+        from ...utils.ct import scrub_array
+
+        scrub_array(
+            self.k, self.sigma_i, self.delta_i, self.k_randomness, self.gamma,
+            self.beta_g, self.beta_randomness, self.beta_tag, self.alpha,
+            self.miu, self.ni, self.l_i,
+        )
+
 
 def offline_stage(
     key: LocalKeyBatch20, s_parties: list[int], rng: SessionRng,
@@ -284,8 +304,14 @@ def offline_stage(
 
     ek_s = key.ek.take(s_parties, 1)
     stmt_s = key.dlog_stmt.take(s_parties, 1)         # [S, tp]
-    # MessageA: alice i encrypts k_i, proving range to each peer j's stmt
-    r_a = rng.below(np.broadcast_to(ek_s.n, (S, tp)), (S, tp))
+    # MessageA: alice i encrypts k_i, proving range to each peer j's stmt;
+    # randomizer tables (when built at keygen/load) supply (r_a, r_a^N)
+    # squaring-free
+    rn_a = None
+    if ek_s.enc_tab_g is not None:
+        r_a, rn_a = ek_s.sample_unit_with_power((S, tp), rng, sync=False)
+    else:
+        r_a = rng.below(np.broadcast_to(ek_s.n, (S, tp)), (S, tp))
     # Off-diagonal PACKED pair layout [S, alice, tp-1]: slot (i, kk) is the
     # pair (alice i, bob j = peers[i, kk]).  The dense eye-masked [S, tp, tp]
     # layout wasted a full diagonal of device compute on every MtA-layer
@@ -296,7 +322,7 @@ def offline_stage(
     ek_alice_pairs = ek_s.expand(2)                   # [S, tp, 1]
     from ...zk.range_proofs import alice_prove
 
-    c_a = mta.paillier_encrypt_ints(ek_s, k, r_a)     # [S, tp] — one enc per alice
+    c_a = mta.paillier_encrypt_ints(ek_s, k, r_a, rn=rn_a)  # [S, tp] — one enc per alice
     alice_proofs = alice_prove(
         k[:, :, None], c_a[:, :, None], ek_alice_pairs, stmt_peers, r_a[:, :, None], rng
     )  # [S, alice, peer-slot]
@@ -316,8 +342,12 @@ def offline_stage(
 
     dk_s = mta.expand_tree_axis(_dk_take(key.dk, s_parties, 1), 2)
     a_pairs = np.broadcast_to(k[:, :, None], pshape)
-    alpha, alpha_raw, ok_a = mta.verify_proofs_get_alpha(dk_s, msg_b_gamma, a_pairs, pshape)
-    miu, miu_raw, ok_m = mta.verify_proofs_get_alpha(dk_s, msg_b_w, a_pairs, pshape)
+    alpha, alpha_raw, ok_a = mta.verify_proofs_get_alpha(
+        dk_s, msg_b_gamma, a_pairs, pshape, ek_sk=ek_alice_pairs
+    )
+    miu, miu_raw, ok_m = mta.verify_proofs_get_alpha(
+        dk_s, msg_b_w, a_pairs, pshape, ek_sk=ek_alice_pairs
+    )
     # MtAwc check: bob's w commitment must match g_w_j (mta/mod.rs:204-209)
     gw_peers = dec.point_take(g_w, peers, 1)
     gwc = np.asarray(dec.point_eq(msg_b_w.b_proof.pk, gw_peers))
@@ -373,7 +403,9 @@ def offline_stage(
         pdl_stmt,
         rng,
     )
-    pdl_ok = pdl_slack_verify(pdl_proofs, pdl_stmt)   # [S, alice, tp-1]
+    from ...zk.batch_verify import pdl_slack_verify_fast
+
+    pdl_ok = pdl_slack_verify_fast(pdl_proofs, pdl_stmt)  # [S, alice, tp-1]
 
     # phase5_check_R_dash_sum: sum R_bar == G (party_i.rs:768-776)
     rb_sum = dec.point_sum(R_bar, axis=1)
@@ -423,12 +455,14 @@ def offline_stage(
     )
 
 
-def refresh_private_key(key: LocalKeyBatch20, factor_ints, rng: SessionRng) -> LocalKeyBatch20:
+def refresh_private_key(
+    key: LocalKeyBatch20, factor_ints, rng: SessionRng, safe_primes: bool = False,
+) -> LocalKeyBatch20:
     """Proactive key rotation (gg_2020/party_i.rs:459-499
     refresh_private_key / refresh_private_key_safe_prime): u_i += factor,
     fresh Paillier keypair AND fresh ring-Pedersen (h1, h2, N_tilde) setup
-    per slot.  Primes are always safe primes here (the device keygen path
-    uses gen_paillier_batch for both reference variants).
+    per slot.  Primes are RANDOM by default; safe_primes=True selects the
+    refresh_private_key_safe_prime variant (party_i.rs:481-499).
 
     factor_ints: [S, n] additive factors — a refresh ceremony supplies
     zero-sum factors so y is invariant; like the reference, this applies
@@ -438,7 +472,7 @@ def refresh_private_key(key: LocalKeyBatch20, factor_ints, rng: SessionRng) -> L
     factor = np.mod(np.asarray(factor_ints, dtype=object), Q)
     u_new = np.mod(key.u + factor, Q)
     y_i_new = dec.mul_generator(_sc(u_new))
-    p_fac, q_fac = gen_paillier_batch(S, n, bits, rng)
+    p_fac, q_fac = gen_paillier_batch(S, n, bits, rng, safe=safe_primes)
     ns = p_fac * q_fac
     nt_ctx, h1, h2, _xhi, _xhi_inv, _phi = generate_h1_h2_n_tilde_batch(S, n, bits, rng)
     stmt = DlogStatementBatch(ctx=nt_ctx, h1=h1, h2=h2)

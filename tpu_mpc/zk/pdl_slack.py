@@ -70,8 +70,12 @@ def pdl_slack_prove(x_ints, r_ints, stmt: PDLwSlackStatementBatch, rng) -> PDLwS
     nn = np.broadcast_to(stmt.ek.nn, shape)
 
     alpha = rng.below(Q3, shape)
-    one = np.ones(shape, dtype=object) if shape else 1
-    beta = rng.below(n - 1, shape) + one          # sample_range(1, n-1)
+    beta = u2_l = None
+    if stmt.ek.enc_tab_g is not None:
+        beta, u2_l = stmt.ek.sample_unit_with_power(shape, rng, sync=False)
+    else:
+        one = np.ones(shape, dtype=object) if shape else 1
+        beta = rng.below(n - 1, shape) + one      # sample_range(1, n-1)
     rho = rng.below(Q * n_t, shape)
     gamma = rng.below(Q3 * n_t, shape)
 
@@ -82,14 +86,15 @@ def pdl_slack_prove(x_ints, r_ints, stmt: PDLwSlackStatementBatch, rng) -> PDLwS
     # before any sync (LazyInts), overlapping the tunnel round-trips
     z_l = stmt.dlog.pow_h1h2(x, rho, hints=(E_BITS, E_BITS + tb), sync=False)
     # (N+1)^alpha mod N^2 == 1 + alpha*N (binomial identity); beta^N takes
-    # the owner's CRT half-width path when available (the prover proves
-    # about its own ciphertext)
-    if stmt.ek.sk_ctx is not None:
-        u2_l = stmt.ek.pow_n_sk(beta, sync=False)
-    else:
-        u2_l = stmt.ek.nn_ctx.pow(
-            beta, n, ebits_hint=stmt.ek.n_ctx.bits, sync=False
-        )
+    # the randomizer tables (sampled above) or the owner's CRT half-width
+    # path (the prover proves about its own ciphertext)
+    if u2_l is None:
+        if stmt.ek.sk_ctx is not None:
+            u2_l = stmt.ek.pow_n_sk(beta, sync=False)
+        else:
+            u2_l = stmt.ek.nn_ctx.pow(
+                beta, n, ebits_hint=stmt.ek.n_ctx.bits, sync=False
+            )
     u3_l = stmt.dlog.pow_h1h2(alpha, gamma, hints=(768, 768 + tb), sync=False)
     u1_pt = dec.scalar_mul(dec.sc_from_ints(obj_mod(alpha, Q)), stmt.G_pt)
     u1x_l, u1y_l, _ = dec.to_affine(u1_pt)
@@ -108,13 +113,13 @@ def pdl_slack_prove(x_ints, r_ints, stmt: PDLwSlackStatementBatch, rng) -> PDLwS
     return PDLwSlackProofBatch(z=z, u1_x=u1_x, u1_y=u1_y, u2=u2, u3=u3, s1=s1, s2=s2, s3=s3)
 
 
-def pdl_slack_verify(proof: PDLwSlackProofBatch, stmt: PDLwSlackStatementBatch) -> np.ndarray:
-    from .range_proofs import pts_from_xy
+def _pdl_host_ec_checks(proof: PDLwSlackProofBatch, stmt: PDLwSlackStatementBatch, shape):
+    """Per-session parts shared by the per-session and cross-session
+    (batch_verify) verifiers: challenge recomputation, width clamping, and
+    the EC u1 identity s1 G + (q - e) Q == u1 (mod.rs:138-142).
 
-    shape = np.broadcast_shapes(np.shape(proof.z), stmt.dlog.ctx.batch_shape, stmt.ek.n_ctx.batch_shape)
-    n_t = np.broadcast_to(stmt.dlog.ctx.n_ints, shape)
-    n = np.broadcast_to(stmt.ek.n, shape)
-    nn = np.broadcast_to(stmt.ek.nn, shape)
+    -> (e, clamped s1, clamped s3, width_ok & u1_ok)."""
+    from .range_proofs import pts_from_xy
 
     u1_dev = pts_from_xy(proof.u1_x, proof.u1_y)
     gi, qi, u1i = point_hash_ints_many(stmt.G_pt, stmt.Q_pt, u1_dev)
@@ -123,6 +128,23 @@ def pdl_slack_verify(proof: PDLwSlackProofBatch, stmt: PDLwSlackStatementBatch) 
     (s1, s3), width_ok = _clamp_exponents(
         shape, (proof.s1, 776), (proof.s3, 768 + tb + 16)
     )
+    s1_mod = obj_mod(proof.s1, Q)
+    e_neg = np.vectorize(lambda v: (Q - int(v) % Q) % Q, otypes=[object])(
+        np.asarray(e, dtype=object)
+    )
+    u1_test = dec.dual_mul(
+        dec.sc_from_ints(np.broadcast_to(s1_mod, shape)), stmt.G_pt,
+        dec.sc_from_ints(np.broadcast_to(e_neg, shape)), stmt.Q_pt,
+    )
+    u1_ok = np.asarray(dec.point_eq(u1_test, u1_dev))
+    return e, s1, s3, width_ok & u1_ok
+
+
+def pdl_slack_verify(proof: PDLwSlackProofBatch, stmt: PDLwSlackStatementBatch) -> np.ndarray:
+    shape = np.broadcast_shapes(np.shape(proof.z), stmt.dlog.ctx.batch_shape, stmt.ek.n_ctx.batch_shape)
+    n = np.broadcast_to(stmt.ek.n, shape)
+    tb = stmt.dlog.ctx.bits
+    e, s1, s3, cheap_ok = _pdl_host_ec_checks(proof, stmt, shape)
     # inverse-free rearrangement of mod.rs:144-160: u2/u3 are already on the
     # wire, so check u2 c^e == (s1 N + 1) s2^N and u3 z^e == h1^s1 h2^s3
     # directly — no host-loop modular inverse (see AliceProofBatch).  All
@@ -140,20 +162,8 @@ def pdl_slack_verify(proof: PDLwSlackProofBatch, stmt: PDLwSlackStatementBatch) 
         [proof.z], [e], ebits_hints=(E_BITS,), mults=[proof.u3], sync=False
     )
     rhs_u3 = stmt.dlog.pow_h1h2(s1, s3, hints=(776, 768 + tb + 16), sync=False)
-    # u1 check: s1 G + (q - e) Q == u1 (mod.rs:138-142) — EC work overlaps
-    # the in-flight modexp launches above
-    s1_mod = obj_mod(proof.s1, Q)
-    e_neg = np.vectorize(lambda v: (Q - int(v) % Q) % Q, otypes=[object])(
-        np.asarray(e, dtype=object)
-    )
-    u1_test = dec.point_add(
-        dec.scalar_mul(dec.sc_from_ints(np.broadcast_to(s1_mod, shape)), stmt.G_pt),
-        dec.scalar_mul(dec.sc_from_ints(np.broadcast_to(e_neg, shape)), stmt.Q_pt),
-    )
-    u1_ok = np.asarray(dec.point_eq(u1_test, u1_dev))
     return (
-        u1_ok
+        cheap_ok
         & (resolve(lhs_u2) == resolve(rhs_u2))
         & (resolve(lhs_u3) == resolve(rhs_u3))
-        & width_ok
     )

@@ -63,11 +63,15 @@ class DlogStatementBatch:
         )
 
     _TABLE_MAX_BASES = 64  # tables cost ~18 MB per base at 2048-bit
+    # widest per-session ring-Pedersen exponent is < Q^3 * N_tilde * 2^16;
+    # the cross-session batched RHS (zk/batch_verify.py) sums gamma_s-weighted
+    # responses, adding GAMMA_BITS + log2(S) <= 160 bits on top
+    _BATCH_SUM_SLACK = 160
 
     def ensure_tables(self) -> "DlogStatementBatch":
         """Build the h1/h2 fixed-base tables (idempotent, one device launch).
         max_ebits covers the widest ring-Pedersen exponent: gamma/tau/s2/t2
-        < Q^3 * N_tilde plus response slack.
+        < Q^3 * N_tilde plus response slack, plus the batch-verify sum slack.
 
         Only worthwhile (and only affordable) when the statement batch is a
         small set of long-lived setups — the production pattern: one signer
@@ -88,7 +92,7 @@ class DlogStatementBatch:
                      np.broadcast_to(self.h2, self.ctx.batch_shape)]
                 )
                 self.tables_rns = tuple(
-                    self.ctx.make_tables_rns(stacked, max_ebits=768 + self.ctx.bits + 16)
+                    self.ctx.make_tables_rns(stacked, max_ebits=768 + self.ctx.bits + 16 + self._BATCH_SUM_SLACK)
                 )
             return self
         if self.tables is None:
@@ -99,7 +103,7 @@ class DlogStatementBatch:
                 [np.broadcast_to(self.h1, self.ctx.batch_shape),
                  np.broadcast_to(self.h2, self.ctx.batch_shape)]
             )
-            tab = self.ctx.make_tables(stacked, max_ebits=768 + self.ctx.bits + 16)
+            tab = self.ctx.make_tables(stacked, max_ebits=768 + self.ctx.bits + 16 + self._BATCH_SUM_SLACK)
             self.tables = (tab[:, :, 0], tab[:, :, 1])
         return self
 
@@ -164,6 +168,64 @@ class DlogStatementBatch:
         )
 
 
+_ENC_TABLES_ENV = __import__("os").environ.get("TPU_MPC_ENC_TABLES")
+_ENC_TABLES_AUTO: bool | None = None
+
+
+def enc_tables_enabled() -> bool:
+    """Randomizer-base tables knob: '1' force on, '0' off, unset = auto
+    (on for accelerators, like the RNS backend — THREAT_MODEL.md §7)."""
+    global _ENC_TABLES_AUTO
+    if _ENC_TABLES_ENV is not None:
+        return _ENC_TABLES_ENV == "1"
+    if _ENC_TABLES_AUTO is None:
+        import jax
+
+        _ENC_TABLES_AUTO = jax.default_backend() != "cpu"
+    return _ENC_TABLES_AUTO
+
+
+def _jacobi(a: int, n: int) -> int:
+    """Jacobi symbol (n odd > 0) — host helper for the enc-base derivation."""
+    a %= n
+    result = 1
+    while a:
+        while a % 2 == 0:
+            a //= 2
+            if n % 8 in (3, 5):
+                result = -result
+        a, n = n, a
+        if a % 4 == 3 and n % 4 == 3:
+            result = -result
+        a %= n
+    return result if n == 1 else 0
+
+
+def _derive_enc_base(n) -> int:
+    """Deterministic public randomizer base for modulus n: hash-counter
+    stream mod n, first unit with Jacobi(g|n) = -1 (so g^t covers both
+    Jacobi classes — see the enc-tables note on PaillierCtxBatch)."""
+    import hashlib
+    import math
+
+    n = int(n)
+    nbytes = (n.bit_length() + 7) // 8 + 16
+    ctr = 0
+    while True:
+        buf = b""
+        i = 0
+        while len(buf) < nbytes:
+            buf += hashlib.sha256(
+                b"tpu-mpc enc-base|" + n.to_bytes((n.bit_length() + 7) // 8, "big")
+                + b"|" + ctr.to_bytes(4, "big") + b"|" + i.to_bytes(4, "big")
+            ).digest()
+            i += 1
+        g = int.from_bytes(buf[:nbytes], "big") % n
+        if g > 1 and math.gcd(g, n) == 1 and _jacobi(g, n) == -1:
+            return g
+        ctr += 1
+
+
 @dataclasses.dataclass
 class PaillierCtxBatch:
     """Alice's Paillier public key batch with device ctxs for N and N^2.
@@ -181,6 +243,11 @@ class PaillierCtxBatch:
     sk_e: np.ndarray | None = None   # [2, ...batch] N mod p(p-1) / q(q-1)
     sk_pp: np.ndarray | None = None  # [...batch] p^2
     sk_cr: np.ndarray | None = None  # [...batch] (p^2)^{-1} mod q^2
+    sk_p: np.ndarray | None = None   # [...batch] p (decrypt_sk CRT pieces)
+    sk_q: np.ndarray | None = None
+    sk_hp: np.ndarray | None = None  # L_p((1+n)^{p-1} mod p^2)^{-1} mod p
+    sk_hq: np.ndarray | None = None
+    sk_pinv_q: np.ndarray | None = None  # p^{-1} mod q
 
     @classmethod
     def from_ints(cls, ns, bits: int = 2048):
@@ -206,7 +273,125 @@ class PaillierCtxBatch:
         self.sk_pp = pp
         self.sk_cr = np.vectorize(lambda a, b: pow(int(a), -1, int(b)),
                                   otypes=[object])(pp, qq)
+        self.sk_p, self.sk_q = p, q
+
+        def hx(nv, xv):
+            u = pow(1 + int(nv), int(xv) - 1, int(xv) * int(xv))
+            return pow((u - 1) // int(xv), -1, int(xv))
+
+        self.sk_hp = np.vectorize(hx, otypes=[object])(n, p)
+        self.sk_hq = np.vectorize(hx, otypes=[object])(n, q)
+        self.sk_pinv_q = np.vectorize(lambda a, b: pow(int(a), -1, int(b)),
+                                      otypes=[object])(p, q)
         return self
+
+    # ---- randomizer-base tables (r4) ------------------------------------
+    # Sampling Paillier randomness as r = g^t mod N with r^N = h^t mod N^2
+    # (h = g^N, t < N * 2^64) turns EVERY r^N — the 2048-bit-exponent
+    # modexps dominating the prover side AND Bob's Enc(beta') under Alice's
+    # key — into zero-squaring fixed-base table products.  (a + kN)^N =
+    # a^N mod N^2, so (g^t mod N)^N == (g^N)^t mod N^2 exactly: wire format,
+    # proofs (s = r^e beta) and the blame replays are unchanged.  g is
+    # derived deterministically from N (hash counter, Jacobi -1 so both
+    # Jacobi classes occur); r is then uniform in <g> instead of Z_N^* —
+    # an indistinguishability assumption documented in THREAT_MODEL.md §7.
+    # TPU_MPC_ENC_TABLES=0 disables (uniform r, the reference's sampling).
+    enc_g: np.ndarray | None = None        # [...batch] the derived base g
+    enc_tab_g: object = None               # fixed-base tables of g mod N
+    enc_tab_h: object = None               # fixed-base tables of h mod N^2
+    enc_tab_rns: bool = False
+
+    _ENC_EBITS = 64                        # t < N * 2^_ENC_EBITS
+
+    def ensure_enc_tables(self) -> "PaillierCtxBatch":
+        """Build the (g, h) randomizer tables (idempotent; call on the
+        small pre-tile key batch, like DlogStatementBatch.ensure_tables)."""
+        from ..core.modctx import resolve, rns_enabled
+
+        if not enc_tables_enabled() or self.enc_tab_g is not None:
+            return self
+        nstat = int(np.prod(self.n_ctx.batch_shape)) if self.n_ctx.batch_shape else 1
+        if nstat > 64:
+            return self
+        g = np.vectorize(_derive_enc_base, otypes=[object])(self.n)
+        h = resolve(
+            self.pow_n_sk(g) if self.sk_ctx is not None
+            else self.nn_ctx.pow(g, self.n, ebits_hint=self.n_ctx.bits)
+        )
+        max_eb = self.n_ctx.bits + self._ENC_EBITS
+        self.enc_g = g
+        if rns_enabled():
+            self.enc_tab_g = self.n_ctx.make_tables_rns(g[None], max_ebits=max_eb)[0]
+            self.enc_tab_h = self.nn_ctx.make_tables_rns(h[None], max_ebits=max_eb)[0]
+            self.enc_tab_rns = True
+        else:
+            self.enc_tab_g = self.n_ctx.make_tables(g[None], max_ebits=max_eb)[:, :, 0]
+            self.enc_tab_h = self.nn_ctx.make_tables(h[None], max_ebits=max_eb)[:, :, 0]
+            self.enc_tab_rns = False
+        return self
+
+    def sample_unit_with_power(self, shape, rng, sync: bool = False):
+        """-> (u ints, u^N mod N^2 lazy): a unit with its N-th power.
+
+        Table path when built+enabled (u = g^t); otherwise uniform unit
+        with the owner-CRT or full-width pow — semantics of every caller
+        (encryption randomness, proof maskers) are identical either way."""
+        from ..core.modctx import resolve as _res
+
+        n_b = np.broadcast_to(self.n, shape)
+        if self.enc_tab_g is not None:
+            t = rng.below(n_b << self._ENC_EBITS, shape)
+            eb = (self.n_ctx.bits + self._ENC_EBITS,)
+            if self.enc_tab_rns:
+                u_l = self.n_ctx.pow_fixed_prod_rns((self.enc_tab_g,), [t], eb, sync=False)
+                un_l = self.nn_ctx.pow_fixed_prod_rns((self.enc_tab_h,), [t], eb, sync=sync)
+            else:
+                u_l = self.n_ctx.pow_fixed_prod((self.enc_tab_g,), [t], eb, sync=False)
+                un_l = self.nn_ctx.pow_fixed_prod((self.enc_tab_h,), [t], eb, sync=sync)
+            return _res(u_l), un_l
+        u = rng.units_below(n_b, shape)
+        if self.sk_ctx is not None:
+            un_l = self.pow_n_sk(u, sync=sync)
+        else:
+            un_l = self.nn_ctx.pow(u, n_b, ebits_hint=self.n_ctx.bits, sync=sync)
+        return u, un_l
+
+    def decrypt_sk(self, c_ints, sync: bool = True):
+        """CRT Paillier decrypt on the ModCtx path: the two half-width
+        c^{x-1} mod x^2 modexps run as ONE stacked device launch (RNS/MXU
+        kernels on accelerators — measured faster than the CIOS limb
+        decrypt), with the L-function exact divisions / h multipliers / CRT
+        recombination deferred to a lazy host map.  Same math as
+        paillier.decrypt (kzen decrypt_crt shape, rounds.rs:264-280)."""
+        from ..core.modctx import LazyMap, resolve
+
+        c = np.asarray(c_ints, dtype=object)
+        shape = np.broadcast_shapes(c.shape, self.n_ctx.batch_shape)
+        exps = np.stack([
+            np.broadcast_to(self.sk_p, shape) - 1,
+            np.broadcast_to(self.sk_q, shape) - 1,
+        ])
+        u_l = self.sk_ctx.pow(c[None], exps, ebits_hint=self.n_ctx.bits // 2,
+                              sync=False)
+        pb = np.broadcast_to(self.sk_p, shape).reshape(-1)
+        qb = np.broadcast_to(self.sk_q, shape).reshape(-1)
+        hpb = np.broadcast_to(self.sk_hp, shape).reshape(-1)
+        hqb = np.broadcast_to(self.sk_hq, shape).reshape(-1)
+        crb = np.broadcast_to(self.sk_pinv_q, shape).reshape(-1)
+
+        def combine(u):
+            up = np.broadcast_to(u[0], shape).reshape(-1)
+            uq = np.broadcast_to(u[1], shape).reshape(-1)
+            out = np.empty(up.shape[0], dtype=object)
+            for i in range(up.shape[0]):
+                p_, q_ = int(pb[i]), int(qb[i])
+                mp = (int(up[i]) - 1) // p_ * int(hpb[i]) % p_
+                mq = (int(uq[i]) - 1) // q_ * int(hqb[i]) % q_
+                out[i] = mp + p_ * ((mq - mp) * int(crb[i]) % q_)
+            return out.reshape(shape)
+
+        lz = LazyMap(u_l, combine)
+        return resolve(lz) if sync else lz
 
     def pow_n_sk(self, base, sync: bool = True):
         """base^N mod N^2 via the attached sk (see class docstring)."""
@@ -244,26 +429,48 @@ class PaillierCtxBatch:
     def nn(self):
         return self.nn_ctx.n_ints
 
-    def _map(self, fn_mod, fn_np) -> "PaillierCtxBatch":
+    def _map(self, fn_mod, fn_np, fn_tab=None) -> "PaillierCtxBatch":
+        np0 = lambda a: None if a is None else fn_np(a, lead=0)
+        # enc tables: [nw, 16, ...batch, L] (or the RNS (tA, tB, tr) triple)
+        # with batch dims at 2..-2, like DlogStatementBatch.tables
+        tab = lambda T: (
+            None if T is None or fn_tab is None
+            else (tuple(fn_tab(c) for c in T) if isinstance(T, tuple) else fn_tab(T))
+        )
         return PaillierCtxBatch(
             n_ctx=fn_mod(self.n_ctx),
             nn_ctx=fn_mod(self.nn_ctx),
             sk_ctx=None if self.sk_ctx is None else fn_mod(self.sk_ctx, lead=1),
             sk_e=None if self.sk_e is None else fn_np(self.sk_e, lead=1),
-            sk_pp=None if self.sk_pp is None else fn_np(self.sk_pp, lead=0),
-            sk_cr=None if self.sk_cr is None else fn_np(self.sk_cr, lead=0),
+            sk_pp=np0(self.sk_pp),
+            sk_cr=np0(self.sk_cr),
+            sk_p=np0(self.sk_p),
+            sk_q=np0(self.sk_q),
+            sk_hp=np0(self.sk_hp),
+            sk_hq=np0(self.sk_hq),
+            sk_pinv_q=np0(self.sk_pinv_q),
+            enc_g=np0(self.enc_g),
+            enc_tab_g=tab(self.enc_tab_g),
+            enc_tab_h=tab(self.enc_tab_h),
+            enc_tab_rns=self.enc_tab_rns,
         )
 
     def take(self, indices, axis: int) -> "PaillierCtxBatch":
+        import jax.numpy as jnp
+
         return self._map(
             lambda c, lead=0: c.take(indices, axis + lead),
             lambda a, lead=0: np.take(a, indices, axis=axis + lead),
+            fn_tab=lambda T: jnp.take(T, jnp.asarray(indices), axis=2 + axis),
         )
 
     def expand(self, axis: int) -> "PaillierCtxBatch":
+        import jax.numpy as jnp
+
         return self._map(
             lambda c, lead=0: c.expand(axis + lead),
             lambda a, lead=0: np.expand_dims(a, axis + lead),
+            fn_tab=lambda T: jnp.expand_dims(T, 2 + axis),
         )
 
     def tile(self, S: int) -> "PaillierCtxBatch":
@@ -275,6 +482,16 @@ class PaillierCtxBatch:
             sk_e=self.sk_e,
             sk_pp=self.sk_pp,
             sk_cr=self.sk_cr,
+            sk_p=self.sk_p,
+            sk_q=self.sk_q,
+            sk_hp=self.sk_hp,
+            sk_hq=self.sk_hq,
+            sk_pinv_q=self.sk_pinv_q,
+            # enc tables keep their size-1 sessions axis (broadcast in-kernel)
+            enc_g=self.enc_g,
+            enc_tab_g=self.enc_tab_g,
+            enc_tab_h=self.enc_tab_h,
+            enc_tab_rns=self.enc_tab_rns,
         )
 
 
@@ -366,7 +583,11 @@ def alice_prove(a_ints, cipher, ek: PaillierCtxBatch, stmt: DlogStatementBatch, 
     shape = np.broadcast_shapes(a.shape, stmt.ctx.batch_shape, ek.n_ctx.batch_shape)
     n_t = np.broadcast_to(stmt.ctx.n_ints, shape)
     alpha = rng.below(Q3, shape)
-    beta = rng.units_below(np.broadcast_to(ek.n, shape), shape)
+    beta = beta_n_l = None
+    if ek.enc_tab_g is not None:
+        beta, beta_n_l = ek.sample_unit_with_power(shape, rng, sync=False)
+    else:
+        beta = rng.units_below(np.broadcast_to(ek.n, shape), shape)
     gamma = rng.below(Q3 * n_t, shape)
     rho = rng.below(Q * n_t, shape)
 
@@ -381,15 +602,16 @@ def alice_prove(a_ints, cipher, ek: PaillierCtxBatch, stmt: DlogStatementBatch, 
     from ..core.modctx import resolve
 
     # dispatch all three independent launches before any sync (LazyInts);
-    # beta^N takes the owner's CRT half-width path when available (the
-    # prover encrypts under its own key)
+    # beta^N takes the randomizer-table path (sampled above), else the
+    # owner's CRT half-width path (the prover encrypts under its own key)
     z_l = stmt.pow_h1h2(a, rho, hints=(a_bits, E_BITS + tb), sync=False)
-    if ek.sk_ctx is not None:
-        beta_n_l = ek.pow_n_sk(beta, sync=False)
-    else:
-        beta_n_l = ek.nn_ctx.pow(
-            beta, np.broadcast_to(ek.n, shape), ebits_hint=ek.n_ctx.bits, sync=False
-        )
+    if beta_n_l is None:
+        if ek.sk_ctx is not None:
+            beta_n_l = ek.pow_n_sk(beta, sync=False)
+        else:
+            beta_n_l = ek.nn_ctx.pow(
+                beta, np.broadcast_to(ek.n, shape), ebits_hint=ek.n_ctx.bits, sync=False
+            )
     w_l = stmt.pow_h1h2(alpha, gamma, hints=(768, 768 + tb), sync=False)
     u = _mulmod(
         alpha * np.broadcast_to(ek.n, shape) + 1, resolve(beta_n_l),
@@ -406,14 +628,13 @@ def alice_prove(a_ints, cipher, ek: PaillierCtxBatch, stmt: DlogStatementBatch, 
     return AliceProofBatch(z=z, e=e, s=s, s1=s1, s2=s2, u=u, w=w)
 
 
-def alice_verify(proof: AliceProofBatch, cipher, ek: PaillierCtxBatch, stmt: DlogStatementBatch) -> np.ndarray:
-    shape = np.broadcast_shapes(
-        np.shape(proof.z), stmt.ctx.batch_shape, ek.n_ctx.batch_shape, np.shape(cipher)
-    )
-    n_t = np.broadcast_to(stmt.ctx.n_ints, shape)
-    nn = np.broadcast_to(ek.nn, shape)
-    n = np.broadcast_to(ek.n, shape)
+def _alice_host_checks(proof: AliceProofBatch, cipher, ek, stmt, shape):
+    """Per-session host-side checks shared by the per-session and the
+    cross-session (batch_verify) verifiers: s1 range, exponent-width
+    clamping, and the Fiat-Shamir hash recomputation.
 
+    -> (cheap_ok mask, clamped (e, s1, s2))."""
+    n = np.broadcast_to(ek.n, shape)
     range_ok = np.vectorize(lambda v: int(v) <= Q3, otypes=[bool])(
         np.broadcast_to(np.asarray(proof.s1, dtype=object), shape)
     )
@@ -421,6 +642,17 @@ def alice_verify(proof: AliceProofBatch, cipher, ek: PaillierCtxBatch, stmt: Dlo
     (e, s1, s2), width_ok = _clamp_exponents(
         shape, (proof.e, E_BITS), (proof.s1, 776), (proof.s2, 768 + tb + 16)
     )
+    e_check = digest_rows(n, n + 1, cipher, proof.z, proof.u, proof.w)
+    hash_ok = e_check == np.broadcast_to(np.asarray(proof.e, dtype=object), shape)
+    return range_ok & width_ok & hash_ok, (e, s1, s2)
+
+
+def alice_verify(proof: AliceProofBatch, cipher, ek: PaillierCtxBatch, stmt: DlogStatementBatch) -> np.ndarray:
+    shape = np.broadcast_shapes(
+        np.shape(proof.z), stmt.ctx.batch_shape, ek.n_ctx.batch_shape, np.shape(cipher)
+    )
+    n = np.broadcast_to(ek.n, shape)
+    tb = stmt.ctx.bits
 
     # inverse-free form (see AliceProofBatch): w z^e == h1^s1 h2^s2 (mod N~)
     # and u c^e == (s1 N + 1) s^N (mod N^2), with e == H(..., u, w).
@@ -428,6 +660,7 @@ def alice_verify(proof: AliceProofBatch, cipher, ek: PaillierCtxBatch, stmt: Dlo
     # device works, decode last (LazyInts).
     from ..core.modctx import resolve
 
+    cheap_ok, (e, s1, s2) = _alice_host_checks(proof, cipher, ek, stmt, shape)
     lhs_w = stmt.ctx.pow_prod(
         [proof.z], [e], ebits_hints=(E_BITS,), mults=[proof.w], sync=False
     )
@@ -438,10 +671,7 @@ def alice_verify(proof: AliceProofBatch, cipher, ek: PaillierCtxBatch, stmt: Dlo
     rhs_u = ek.nn_ctx.pow_prod(
         [proof.s], [n], ebits_hints=(ek.n_ctx.bits,), mults=[s1 * n + 1], sync=False
     )
-    e_check = digest_rows(n, n + 1, cipher, proof.z, proof.u, proof.w)
-    return range_ok & width_ok & (
-        e_check == np.broadcast_to(np.asarray(proof.e, dtype=object), shape)
-    ) & (resolve(lhs_w) == resolve(rhs_w)) & (resolve(lhs_u) == resolve(rhs_u))
+    return cheap_ok & (resolve(lhs_w) == resolve(rhs_w)) & (resolve(lhs_u) == resolve(rhs_u))
 
 
 @dataclasses.dataclass
@@ -488,7 +718,11 @@ def bob_prove(
     nn = np.broadcast_to(ek.nn, shape)
 
     alpha = rng.below(Q3, shape)
-    beta = rng.units_below(n, shape)
+    beta = beta_n_l = None
+    if ek.enc_tab_g is not None:
+        beta, beta_n_l = ek.sample_unit_with_power(shape, rng, sync=False)
+    else:
+        beta = rng.units_below(n, shape)
     gamma = rng.below(Q * Q * n, shape)
     rho = rng.below(Q * n_t, shape)
     rho_prim = rng.below(Q3 * n_t, shape)
@@ -504,10 +738,16 @@ def bob_prove(
     zp_l = stmt.pow_h1h2(alpha, rho_prim, hints=(768, 768 + tb), sync=False)
     t_l = stmt.pow_h1h2(beta_prim, sigma, hints=(pb, E_BITS + tb), sync=False)
     w_l = stmt.pow_h1h2(gamma, tau, hints=(512 + pb, 768 + tb), sync=False)
-    v_l = ek.nn_ctx.pow_prod(
-        [a_enc, beta], [alpha, n], ebits_hints=(768, pb),
-        mults=[gamma * n + 1], sync=False,
-    )
+    if beta_n_l is not None:
+        v_l = ek.nn_ctx.pow_prod(
+            [a_enc], [alpha], ebits_hints=(768,),
+            mults=[resolve(beta_n_l), gamma * n + 1], sync=False,
+        )
+    else:
+        v_l = ek.nn_ctx.pow_prod(
+            [a_enc, beta], [alpha, n], ebits_hints=(768, pb),
+            mults=[gamma * n + 1], sync=False,
+        )
     z, z_prim, t, w = resolve(z_l), resolve(zp_l), resolve(t_l), resolve(w_l)
     v = resolve(v_l)
 

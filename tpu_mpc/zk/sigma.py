@@ -104,7 +104,7 @@ def homo_elgamal_prove(x_limbs, r_limbs, G, H, Y, D, E, rng) -> HomoElGamalProof
     shape = x_limbs.shape[:-1]
     s1 = _sc(rng.scalars(shape))
     s2 = _sc(rng.scalars(shape))
-    T1 = ec.point_add(ec.scalar_mul(s1, H), ec.scalar_mul(s2, Y))
+    T1 = ec.dual_mul(s1, H, s2, Y)
     T2 = ec.scalar_mul(s2, G)
     e = _sc(_heg_challenge(G, H, Y, D, E, T1, T2))
     z1 = ec.sc_add(s1, ec.sc_mul(e, x_limbs))
@@ -114,7 +114,7 @@ def homo_elgamal_prove(x_limbs, r_limbs, G, H, Y, D, E, rng) -> HomoElGamalProof
 
 def homo_elgamal_verify(proof: HomoElGamalProof, G, H, Y, D, E) -> np.ndarray:
     e = _sc(_heg_challenge(G, H, Y, D, E, proof.T1, proof.T2))
-    lhs1 = ec.point_add(ec.scalar_mul(proof.z1, H), ec.scalar_mul(proof.z2, Y))
+    lhs1 = ec.dual_mul(proof.z1, H, proof.z2, Y)
     rhs1 = ec.point_add(proof.T1, ec.scalar_mul(e, D))
     lhs2 = ec.scalar_mul(proof.z2, G)
     rhs2 = ec.point_add(proof.T2, ec.scalar_mul(e, E))

@@ -41,3 +41,19 @@ def test_refresh_preserves_pubkey_and_signs():
     assert kg2.ok.all()
     sig = l17.sign(kg2, 424242, rng)
     assert sig.sig_valid.all()
+
+
+def test_to_mta_message_b_conversion():
+    """Lindell -> GG18 master-key conversion (party_one.rs:309-315,
+    party_two.rs:259-271): the MtA over Enc(x1) with b = x2 yields additive
+    shares alpha + beta == x1 * x2 mod q — the GG18 master key."""
+    rng = SessionRng(0x2177)
+    kg = l17.keygen(S, rng, paillier_bits=BITS)
+    assert kg.ok.all()
+    msg_b, beta = l17.party_two_to_mta_message_b(kg.p2, rng)
+    alpha, ok = l17.party_one_to_mta_message_b(kg.p1, msg_b)
+    assert ok.all()
+    q = hec.N
+    for s in range(S):
+        assert (int(alpha[s]) + int(beta[s])) % q == \
+            int(kg.p1.x1[s]) * int(kg.p2.x2[s]) % q

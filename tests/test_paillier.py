@@ -111,3 +111,62 @@ def test_host_open_recovers_randomness():
     c = hp.encrypt(eks[0], m, rnd)
     m2, r2 = hp.open(dks[0], c)
     assert (m2, r2) == (m, rnd)
+
+
+def test_decrypt_sk_modctx_path_matches():
+    """PaillierCtxBatch.decrypt_sk (ModCtx/RNS CRT decrypt, r4) must agree
+    with the host decrypt and the CIOS limb decrypt on random ciphertexts,
+    on both backends (TPU_MPC_RNS toggles via ModCtx dispatch)."""
+    from tpu_mpc.zk.range_proofs import PaillierCtxBatch
+
+    r = random.Random(77)
+    keys = [hp.keypair(BITS, rng=r) for _ in range(3)]
+    ek = PaillierCtxBatch.from_ints(
+        [k[0].n for k in keys], bits=BITS
+    ).attach_sk([k[1].p for k in keys], [k[1].q for k in keys])
+    ms = [r.randrange(k[0].n) for k in keys]
+    rs = [hp.sample_randomness(k[0], r) for k in keys]
+    cs = np.asarray(
+        [hp.encrypt(k[0], m, rr) for k, m, rr in zip(keys, ms, rs)], dtype=object
+    )
+    got = ek.decrypt_sk(cs)
+    for g, m in zip(got.reshape(-1), ms):
+        assert int(g) == m
+    # lazy handle path
+    lz = ek.decrypt_sk(cs, sync=False)
+    assert [int(v) for v in lz.ints().reshape(-1)] == ms
+
+
+def test_enc_randomizer_tables_path(monkeypatch):
+    """Randomizer-base tables (THREAT_MODEL §7): r = g^t mod N must satisfy
+    r^N == (g^N)^t mod N^2 exactly (the binomial identity), ciphertexts
+    built from the table rn must decrypt, and the base derivation is
+    deterministic with Jacobi(g|N) = -1."""
+    from tpu_mpc.core.modctx import resolve
+    from tpu_mpc.mta import mta
+    from tpu_mpc.utils.rng import SessionRng
+    from tpu_mpc.zk import range_proofs as rp
+
+    monkeypatch.setattr(rp, "_ENC_TABLES_ENV", "1")
+    r = random.Random(55)
+    keys = [hp.keypair(BITS, rng=r) for _ in range(2)]
+    ek = rp.PaillierCtxBatch.from_ints(
+        [k[0].n for k in keys], BITS
+    ).attach_sk([k[1].p for k in keys], [k[1].q for k in keys])
+    ek.ensure_enc_tables()
+    assert ek.enc_tab_g is not None
+    for i, kk in enumerate(keys):
+        g = int(ek.enc_g[i])
+        assert g == rp._derive_enc_base(kk[0].n)  # deterministic
+        assert rp._jacobi(g, kk[0].n) == -1
+    srng = SessionRng(9)
+    u, un_l = ek.sample_unit_with_power((2,), srng)
+    un = resolve(un_l)
+    for i, kk in enumerate(keys):
+        n = kk[0].n
+        assert int(un[i]) == pow(int(u[i]), n, n * n)
+    ms = [r.randrange(keys[i][0].n) for i in range(2)]
+    u2, un2_l = ek.sample_unit_with_power((2,), srng)
+    c = mta.paillier_encrypt_ints(ek, np.asarray(ms, dtype=object), u2, rn=un2_l)
+    for i, kk in enumerate(keys):
+        assert hp.decrypt(kk[1], int(c[i])) == ms[i]

@@ -112,12 +112,54 @@ def gen_primes_parallel(bits: int, count: int, rng: random.Random | None = None)
         return list(ex.map(one, seeds))
 
 
+def _native_gen_safe_prime(bits: int, seed: int):
+    try:
+        from tpu_mpc.native import primegen  # lazy: optional C++ helper
+
+        return primegen.gen_safe_prime(bits, seed)
+    except Exception:
+        return None
+
+
 def gen_safe_prime(bits: int, rng: random.Random | None = None) -> int:
-    """Safe prime p = 2q+1 (reference: Paillier::keypair_safe_primes)."""
+    """Safe prime p = 2q+1 (reference: Paillier::keypair_safe_primes,
+    gg_2018/party_i.rs:163-175).  Native double-sieved search when the C++
+    helper is available; python fallback otherwise."""
     if rng is None:
         rng = random.Random(secrets.randbits(128))
+    p = _native_gen_safe_prime(bits, rng.getrandbits(64))
+    if p is not None:
+        return p
     while True:
         q = gen_prime(bits - 1, rng)
         p = 2 * q + 1
         if is_probable_prime(p, rng=rng):
             return p
+
+
+def gen_safe_primes_parallel(bits: int, count: int, rng: random.Random | None = None) -> list[int]:
+    """`count` safe primes across host cores (see gen_primes_parallel for
+    the seed-order determinism contract)."""
+    import os
+    from concurrent.futures import ThreadPoolExecutor
+
+    seeds = [
+        rng.getrandbits(64) if rng else secrets.randbits(64) for _ in range(count)
+    ]
+
+    def one(seed: int) -> int:
+        p = _native_gen_safe_prime(bits, seed)
+        if p is not None:
+            return p
+        r2 = random.Random(seed)
+        while True:
+            q = gen_prime(bits - 1, r2)
+            cand = 2 * q + 1
+            if is_probable_prime(cand, rng=r2):
+                return cand
+
+    workers = min(count, os.cpu_count() or 1)
+    if workers <= 1:
+        return [one(s) for s in seeds]
+    with ThreadPoolExecutor(workers) as ex:
+        return list(ex.map(one, seeds))

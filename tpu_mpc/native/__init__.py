@@ -36,6 +36,10 @@ def _load():
         lib.tpu_mpc_gen_prime.restype = ctypes.c_int
         lib.tpu_mpc_is_prime.argtypes = [ctypes.c_char_p, ctypes.c_int, ctypes.c_uint64]
         lib.tpu_mpc_is_prime.restype = ctypes.c_int
+        lib.tpu_mpc_gen_safe_prime.argtypes = [
+            ctypes.c_int, ctypes.c_uint64, ctypes.c_char_p
+        ]
+        lib.tpu_mpc_gen_safe_prime.restype = ctypes.c_int
         _lib = lib
     return _lib
 
@@ -50,6 +54,16 @@ class primegen:
         lib = _load()
         buf = ctypes.create_string_buffer(bits // 8)
         if lib.tpu_mpc_gen_prime(bits, seed & ((1 << 64) - 1), buf) != 0:
+            return None
+        return int.from_bytes(buf.raw, "little")
+
+    @staticmethod
+    def gen_safe_prime(bits: int, seed: int) -> int | None:
+        if bits % 64 != 0 or bits < 128:
+            return None  # caller falls back to the python path
+        lib = _load()
+        buf = ctypes.create_string_buffer(bits // 8)
+        if lib.tpu_mpc_gen_safe_prime(bits, seed & ((1 << 64) - 1), buf) != 0:
             return None
         return int.from_bytes(buf.raw, "little")
 

@@ -43,11 +43,14 @@ def _sc(x):
     return dec.sc_from_ints(np.asarray(x, dtype=object))
 
 
-def gen_paillier_batch(S: int, n: int, bits: int, rng: SessionRng):
+def gen_paillier_batch(S: int, n: int, bits: int, rng: SessionRng, safe: bool = False):
     """Host-side Paillier keygen for every (session, party) slot —
     prime search parallelized across cores (seed order matches the old
-    per-slot p,q loop, so generated keys are unchanged)."""
-    flat = primes.gen_primes_parallel(bits // 2, 2 * S * n, rng._r)
+    per-slot p,q loop, so generated keys are unchanged).  safe=True draws
+    safe primes p = 2p'+1 (Paillier::keypair_safe_primes role,
+    gg_2018/party_i.rs:163-175 Keys::create_safe_prime)."""
+    gen = primes.gen_safe_primes_parallel if safe else primes.gen_primes_parallel
+    flat = gen(bits // 2, 2 * S * n, rng._r)
     ps = np.asarray(flat[0::2], dtype=object).reshape(S, n)
     qs = np.asarray(flat[1::2], dtype=object).reshape(S, n)
     return ps, qs
@@ -79,12 +82,16 @@ class KeygenResult:
     bad_actors: np.ndarray    # [S, n] per-party failure flags
 
 
-def keygen(S: int, t: int, n: int, rng: SessionRng, paillier_bits: int = 2048) -> KeygenResult:
-    """4-round GG18 keygen over a batch of S sessions (party_i.rs:148-311)."""
+def keygen(
+    S: int, t: int, n: int, rng: SessionRng, paillier_bits: int = 2048,
+    safe_primes: bool = False,
+) -> KeygenResult:
+    """4-round GG18 keygen over a batch of S sessions (party_i.rs:148-311).
+    safe_primes=True is Keys::create_safe_prime (party_i.rs:163-175)."""
     # --- round 0: per-party secrets -------------------------------------
     u = rng.scalars((S, n))
     y_i = dec.mul_generator(_sc(u))
-    p_fac, q_fac = gen_paillier_batch(S, n, paillier_bits, rng)
+    p_fac, q_fac = gen_paillier_batch(S, n, paillier_bits, rng, safe=safe_primes)
     ns = p_fac * q_fac
     ek = PaillierCtxBatch.from_ints(ns, paillier_bits).attach_sk(p_fac, q_fac)
     dk = dp.BatchDecryptionKey.from_ints(p_fac, q_fac, paillier_bits)

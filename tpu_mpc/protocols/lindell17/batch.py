@@ -244,6 +244,34 @@ def sign(kg: KeygenResult2P, m_int, rng: SessionRng) -> Sign2PResult:
     return Sign2PResult(r=rx1, s=s_final, recid=recid, ok=np.asarray(ok), sig_valid=sig_valid)
 
 
+def party_two_to_mta_message_b(p2: Party2KeyBatch, rng: SessionRng):
+    """Lindell -> GG18 master-key conversion, P2 side
+    (party_two.rs:259-271 to_mta_message_b): respond as MtA Bob with
+    b = x2 to P1's encrypted share c_key = Enc_ek1(x1), no range proofs —
+    exactly MessageB::b(&x2, ek, MessageA { c: c_key }, &[]).
+
+    -> (MessageBBatch, beta [S]) with x1*x2 = alpha + beta mod q.
+    """
+    msg, beta, _randomness, _beta_tag, _ = mta.message_b(
+        p2.x2, p2.ek, p2.c_key, None, None, rng
+    )
+    return msg, beta
+
+
+def party_one_to_mta_message_b(p1: Party1KeyBatch, msg_b):
+    """Lindell -> GG18 master-key conversion, P1 side
+    (party_one.rs:309-315 to_mta_message_b): finish as MtA Alice with
+    a = x1 — decrypt alpha under the Lindell Paillier sk and run the
+    dlog-proof + EC-identity checks of verify_proofs_get_alpha.
+
+    -> (alpha [S] mod q, ok [S]); (alpha, beta) are then additive GG18-style
+    shares of the master secret x1*x2.
+    """
+    S = p1.x1.shape[0]
+    alpha, _alpha_raw, ok = mta.verify_proofs_get_alpha(p1.dk, msg_b, p1.x1, (S,))
+    return alpha, ok
+
+
 def refresh_private_key(kg: KeygenResult2P, factor_ints, rng: SessionRng) -> KeygenResult2P:
     """Key rotation: x1 *= factor, x2 *= factor^{-1}... following
     party_one.rs:246-296 / party_two.rs:241-246 (factor applied

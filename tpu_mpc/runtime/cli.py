@@ -16,7 +16,7 @@ import json
 import sys
 
 from .gg20_keygen_sm import Gg20Keygen
-from .gg20_sign_sm import Gg20OfflineStage, partial_sig_local, sign_manual
+from .gg20_sign_sm import Gg20OfflineStage, partial_sig_local, scrub_offline, sign_manual
 from .relay_client import SmClient, run_protocol
 from .wire import Msg, decode_value, encode_value
 
@@ -64,6 +64,7 @@ def cmd_sign(args) -> None:
                       "recid": sig["recid"], "valid": sig["valid"]}))
     if not sig["valid"]:
         sys.exit(1)
+    scrub_offline(off)  # signature done: drop the one-time secrets
 
 
 def main() -> None:

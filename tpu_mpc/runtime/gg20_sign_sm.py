@@ -124,13 +124,23 @@ class Gg20OfflineStage(StateMachine):
         proofs = {}
         from ..zk.range_proofs import alice_prove
 
-        for j in self._peer_order():
-            st = self._stmt_of(j)
+        # all per-peer proofs in ONE launch: the peer statements stack into
+        # a [tp-1] batch (each peer still gets its own fresh proof nonces)
+        peers = self._peer_order()
+        if peers:
+            sts = [self._stmt_of(j) for j in peers]
             stmt = DlogStatementBatch.from_ints(
-                _obj(st["N"]), _obj(st["g"]), _obj(st["ni"]), self.bits
+                np.asarray([st["N"] for st in sts], dtype=object),
+                np.asarray([st["g"] for st in sts], dtype=object),
+                np.asarray([st["ni"] for st in sts], dtype=object),
+                self.bits,
             )
             pr = alice_prove(_obj(self.k), _obj(c_a), my_ek, stmt, _obj(self.k_rand), rng)
-            proofs[str(j)] = {k: int(getattr(pr, k)[()]) for k in ("z", "e", "s", "s1", "s2", "u", "w")}
+            for idx, j in enumerate(peers):
+                proofs[str(j)] = {
+                    k: int(np.asarray(getattr(pr, k), dtype=object).reshape(-1)[idx])
+                    for k in ("z", "e", "s", "s1", "s2", "u", "w")
+                }
         self._broadcast(1, {"com": com, "c_a": c_a, "alice_proofs": proofs})
         self.com = com
 
@@ -245,23 +255,32 @@ class Gg20OfflineStage(StateMachine):
         self.r_x = self.R[0] % Q
         self.R_bar = hec.mul(self.k, self.R)
         proofs = {}
-        for j in self._peer_order():
-            st = self._stmt_of(j)
+        peers = self._peer_order()
+        if peers:
+            # one launch for all peers: stack the peer dlog statements
+            sts = [self._stmt_of(j) for j in peers]
             stmt = PDLwSlackStatementBatch(
                 ciphertext=_obj(self.c_a),
                 ek=self.my_ek,
-                Q_pt=dec.points_from_host(self.R_bar),
-                G_pt=dec.points_from_host(self.R),
+                Q_pt=dec.points_from_host([self.R_bar] * len(peers)),
+                G_pt=dec.points_from_host([self.R] * len(peers)),
                 dlog=DlogStatementBatch.from_ints(
-                    _obj(st["N"]), _obj(st["g"]), _obj(st["ni"]), self.bits
+                    np.asarray([st["N"] for st in sts], dtype=object),
+                    np.asarray([st["g"] for st in sts], dtype=object),
+                    np.asarray([st["ni"] for st in sts], dtype=object),
+                    self.bits,
                 ),
             )
             pr = pdl_slack_prove(_obj(self.k), _obj(self.k_rand), stmt, self.rng)
-            proofs[str(j)] = {
-                "z": int(pr.z[()]), "u1": (int(pr.u1_x[()]), int(pr.u1_y[()])),
-                "u2": int(pr.u2[()]), "u3": int(pr.u3[()]),
-                "s1": int(pr.s1[()]), "s2": int(pr.s2[()]), "s3": int(pr.s3[()]),
-            }
+            flat = lambda a: np.asarray(a, dtype=object).reshape(-1)
+            for idx, j in enumerate(peers):
+                proofs[str(j)] = {
+                    "z": int(flat(pr.z)[idx]),
+                    "u1": (int(flat(pr.u1_x)[idx]), int(flat(pr.u1_y)[idx])),
+                    "u2": int(flat(pr.u2)[idx]), "u3": int(flat(pr.u3)[idx]),
+                    "s1": int(flat(pr.s1)[idx]), "s2": int(flat(pr.s2)[idx]),
+                    "s3": int(flat(pr.s3)[idx]),
+                }
         self._broadcast(5, {"R_bar": self.R_bar, "pdl": proofs})
 
     # ---- round 5: verify PDL, R_bar sum, S_i (rounds.rs:524-601) -----------
@@ -356,3 +375,17 @@ def sign_manual(offline_output: dict, m_int: int, partial_sigs: list[int]) -> di
 def partial_sig_local(offline_output: dict, m_int: int) -> int:
     """SignManual::new -> phase7_local_sig (party_i.rs:850-871)."""
     return (m_int % Q * offline_output["k"] + offline_output["r"] * offline_output["sigma_i"]) % Q
+
+
+def scrub_offline(offline_output: dict) -> None:
+    """Zeroize the one-time offline secrets (k_i, sigma_i) after the online
+    round completes — the zeroize-on-drop analog of the reference's
+    CompletedOfflineStage (sign.rs:647-655; zeroize usage
+    range_proofs.rs:26-27).  Call only after a successful signature: an
+    aborted session needs the state for blame."""
+    from ..utils.ct import scrub_array
+
+    for key in ("k", "sigma_i"):
+        if key in offline_output:
+            scrub_array(offline_output.get(key))
+            offline_output[key] = 0

@@ -15,12 +15,15 @@ lint:
 	  $(PY) -m pyflakes tpu_mpc bench.py __graft_entry__.py; \
 	else echo "pyflakes not installed; py_compile only"; fi
 
-# One pytest process per file: this jaxlib's CPU backend segfaults when
-# compiling a fresh kernel after roughly 30-40 tests' worth of in-process
-# compiled programs (reproduced deterministically at different tests purely
-# as a function of accumulated compile count; every file passes alone).
-# Process isolation resets the LLVM JIT state; coverage is identical.
+# Grouped pytest processes in parallel (tests/run_tests.sh): groups stay
+# under this jaxlib's ~30-40-compile-per-process segfault threshold while
+# compiling the shared kernel zoo once per GROUP instead of once per file
+# (the r3 per-file gate took ~1.5 h); a group that still crashes on a
+# signal degrades to per-file processes automatically.
 test:
+	@sh tests/run_tests.sh
+
+test-serial:
 	@for f in tests/test_*.py; do \
 	  echo "== $$f"; $(TESTENV) $(PY) -m pytest $$f -x -q; rc=$$?; \
 	  if [ $$rc -ne 0 ] && [ $$rc -ne 5 ]; then exit 1; fi; \

@@ -22,6 +22,7 @@ import time
 
 BASELINE_SIG_PER_SEC_EST = 60.0  # reference est., 16-core host (see docstring)
 BENCH_SEED = 0xBE7C  # public, pinned: the key cache is bench-only, NOT secret
+_KEYGEN_WALL_S = None  # measured at cache-build time; reported from the cache
 
 # Persistent compilation cache: the r1 bench paid a 1014s compile warm-up on
 # every driver run.  Caching compiled executables under the repo makes every
@@ -87,10 +88,17 @@ def main():
     key1 = _load_key(cache)
     sys.stderr.write(f"[t+{time.time()-t0:6.1f}s] key cache loaded\n")
     if key1 is None:
+        global _KEYGEN_WALL_S
+        tkg = time.time()
         kg = gg20.keygen(1, 1, 3, rng, paillier_bits=bits)
+        kg_dt = time.time() - tkg
         assert kg.ok.all(), "keygen failed"
         key1 = kg.key
-        _save_key(cache, key1)
+        # measured distributed-keygen rate rides along in the cache so every
+        # later (cache-hit) bench run still reports a MEASURED number
+        _KEYGEN_WALL_S = kg_dt
+        _save_key(cache, key1, keygen_wall_s=kg_dt)
+        sys.stderr.write(f"keygen (3-party, {bits}b) measured: {kg_dt:.1f}s/session\n")
     # (cache hit: signing just draws from the fresh stream — any valid
     # randomness is equivalent for throughput measurement)
     key = _tile_key(key1, S)
@@ -121,16 +129,31 @@ def main():
         sys.stderr.write("== timed-run profile ==\n" + _modctx.profile_summary() + "\n")
 
     sig_per_sec = S / dt
-    print(
-        json.dumps(
-            {
-                "metric": "gg20_2of3_sign_throughput",
-                "value": round(sig_per_sec, 3),
-                "unit": "signatures/sec/chip",
-                "vs_baseline": round(sig_per_sec / BASELINE_SIG_PER_SEC_EST, 3),
-            }
-        )
-    )
+    out = {
+        "metric": "gg20_2of3_sign_throughput",
+        "value": round(sig_per_sec, 3),
+        "unit": "signatures/sec/chip",
+        "vs_baseline": round(sig_per_sec / BASELINE_SIG_PER_SEC_EST, 3),
+    }
+    # measured baselines, when present:
+    #  * cpu_baseline_result.json — the GMP (reference-substrate) GG20 flow
+    #    measured on THIS host (benches/cpu_baseline.py); vs_baseline then
+    #    compares a measurement to a measurement (the 60 sig/s 16-core
+    #    estimate stays visible as vs_baseline_est_16core)
+    #  * keygen s/session — measured when the bench key cache was built
+    cpu_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "benches/cpu_baseline_result.json")
+    if os.path.exists(cpu_path):
+        with open(cpu_path) as f:
+            cpu = json.load(f)
+        meas = cpu.get("sig_per_sec")
+        if meas:
+            out["cpu_baseline_sig_per_sec_measured"] = meas
+            out["vs_baseline_est_16core"] = out["vs_baseline"]
+            out["vs_baseline"] = round(sig_per_sec / meas, 3)
+    if _KEYGEN_WALL_S:
+        out["keygen_3party_sessions_per_sec"] = round(1.0 / _KEYGEN_WALL_S, 5)
+    print(json.dumps(out))
 
 
 def keygen_bench():
@@ -164,7 +187,7 @@ def keygen_bench():
     )
 
 
-def _save_key(path, key1):
+def _save_key(path, key1, keygen_wall_s=None):
     """Persist an S=1 LocalKeyBatch20 as plain ints (see cache note in main)."""
     import json
 
@@ -178,6 +201,7 @@ def _save_key(path, key1):
     obj = {
         "WARNING": "bench-only key, derived from the public seed below — NOT secret",
         "seed": BENCH_SEED,
+        "keygen_wall_s": keygen_wall_s,
         "t": key1.t, "n": key1.n, "bits": key1.paillier_bits,
         "p": E(key1.p), "q": E(key1.q),
         "nt": E(key1.dlog_stmt.ctx.n_ints),
@@ -217,6 +241,8 @@ def _load_key(path):
         d = json.load(f)
     if d.get("seed") != BENCH_SEED:
         return None  # provenance mismatch: regenerate under the pinned seed
+    global _KEYGEN_WALL_S
+    _KEYGEN_WALL_S = d.get("keygen_wall_s")
     import sys
     import time
 
@@ -226,13 +252,14 @@ def _load_key(path):
     ns = p * q
     y_i = dec.points_from_host(_tuplify_pts(d["y_i"]))
     stmt = DlogStatementBatch.from_ints(A(d["nt"]), A(d["h1"]), A(d["h2"]), bits)
+    ek = PaillierCtxBatch.from_ints(ns, bits).attach_sk(p, q)
     sys.stderr.write(f"  [load: ctxs built +{time.time()-t0:.1f}s]\n")
-    stmt.ensure_tables()
-    sys.stderr.write(f"  [load: h1h2 tables +{time.time()-t0:.1f}s]\n")
+    _load_or_build_tables(path, stmt, ek)
+    sys.stderr.write(f"  [load: tables ready +{time.time()-t0:.1f}s]\n")
     return LocalKeyBatch20(
         S=1, t=d["t"], n=d["n"], paillier_bits=bits,
         p=p, q=q,
-        ek=PaillierCtxBatch.from_ints(ns, bits).attach_sk(p, q),
+        ek=ek,
         dk=dp.BatchDecryptionKey.from_ints(p, q, bits),
         dlog_stmt=stmt,
         u=A(d["u"]), x=A(d["x"]),
@@ -242,6 +269,59 @@ def _load_key(path):
             commitments=dec.points_from_host(_tuplify_pts(d["vss"])),
         ),
     )
+
+
+def _load_or_build_tables(key_path, stmt, ek):
+    """Fixed-base tables (h1/h2 ring-Pedersen + enc randomizer bases) are
+    deterministic given the cached key, but cost ~60-100 s to build on a
+    tunneled chip (serial-montmul latency-bound).  Persist the built device
+    arrays next to the key cache so warm bench runs load them in ~2 s."""
+    import numpy as np
+
+    from tpu_mpc.core.modctx import rns_enabled
+
+    tab_path = key_path.replace(".json", "_tables.npz")
+    want_rns = rns_enabled()
+    if os.path.exists(tab_path):
+        import jax.numpy as jnp
+
+        z = np.load(tab_path)
+        if bool(z["rns"]) == want_rns and z["seed"] == BENCH_SEED:
+            J = lambda k: jnp.asarray(z[k])
+            if want_rns:
+                stmt.tables_rns = tuple(
+                    tuple(J(f"h{b}_{c}") for c in range(3)) for b in range(2)
+                )
+                if "encg_0" in z:
+                    ek.enc_g = np.asarray([int(v) for v in z["enc_g_ints"]],
+                                          dtype=object).reshape(z["enc_g_shape"])
+                    ek.enc_tab_g = tuple(J(f"encg_{c}") for c in range(3))
+                    ek.enc_tab_h = tuple(J(f"ench_{c}") for c in range(3))
+                    ek.enc_tab_rns = True
+                else:
+                    ek.ensure_enc_tables()  # cache predates the enc tables
+            else:
+                stmt.tables = (J("h0"), J("h1"))
+            return
+    stmt.ensure_tables()
+    ek.ensure_enc_tables()
+    out = {"rns": want_rns, "seed": BENCH_SEED}
+    if want_rns and stmt.tables_rns is not None:
+        for b in range(2):
+            for c in range(3):
+                out[f"h{b}_{c}"] = np.asarray(stmt.tables_rns[b][c])
+        if ek.enc_tab_g is not None:
+            for c in range(3):
+                out[f"encg_{c}"] = np.asarray(ek.enc_tab_g[c])
+                out[f"ench_{c}"] = np.asarray(ek.enc_tab_h[c])
+            out["enc_g_ints"] = np.asarray(
+                [str(int(v)) for v in np.asarray(ek.enc_g, dtype=object).reshape(-1)]
+            )
+            out["enc_g_shape"] = np.asarray(ek.enc_g).shape
+    elif stmt.tables is not None:
+        out["h0"] = np.asarray(stmt.tables[0])
+        out["h1"] = np.asarray(stmt.tables[1])
+    np.savez(tab_path, **out)
 
 
 def _tile_key(key1, S):

@@ -81,6 +81,34 @@ def main():
     _timed(f"lindell17_keygen_{bits}b", _lkg, S)
     _timed(f"lindell17_sign_{bits}b", lambda: l17.sign(l["r"], m, rng), S)
 
+    # deployment path: per-party GG20 state machines over the in-process
+    # simulator (examples/gg20_signing.rs:34-90 role).  Latency of ONE
+    # session at per-party shapes — the interop/correctness path; batch
+    # throughput is bench.py's headline.  Keygen (prime-bound) is excluded
+    # from the timed region.
+    def _sm_path():
+        from tpu_mpc.runtime.gg20_keygen_sm import Gg20Keygen
+        from tpu_mpc.runtime.gg20_sign_sm import (
+            Gg20OfflineStage, partial_sig_local, sign_manual,
+        )
+        from tpu_mpc.runtime.state_machine import run_simulation
+
+        outs = _sm_path.outs
+        if outs is None:
+            outs = _sm_path.outs = run_simulation(
+                [Gg20Keygen(i, 1, 3, SessionRng(300 + i), paillier_bits=bits)
+                 for i in (1, 2, 3)]
+            )
+        seed = _sm_path.seed = getattr(_sm_path, "seed", 400) + 10
+        sms = [Gg20OfflineStage(1, [0, 1], outs[0], SessionRng(seed + 1)),
+               Gg20OfflineStage(2, [0, 1], outs[1], SessionRng(seed + 2))]
+        off = run_simulation(sms)
+        p2 = partial_sig_local(off[1], m)
+        sig = sign_manual(off[0], m, [p2])
+        assert sig["valid"], "SM-path signature invalid"
+    _sm_path.outs = None
+    _timed(f"gg20_sm_path_sign_1session_{bits}b", _sm_path, 1)
+
     # cclst 2P keygen / sign (cclst_2019, host class groups -> small S)
     Sc = min(S, 2)
     c = {}

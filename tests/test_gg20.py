@@ -186,3 +186,10 @@ def test_offline_with_enc_tables(monkeypatch):
     assert off.ok.all(), off.debug_masks
     sig = gg20.sign_online(off, 0xE4C123)
     assert sig.ok.all() and sig.sig_valid.all()
+    # blame with table-sampled randomness: the deferred r = g^t handle
+    # resolves during the phase-5 replay and the replay still attributes
+    off_bad = gg20.offline_stage(
+        res.key, [0, 1], rng, corrupt={"step": 5, "parties": [1]}
+    )
+    assert not off_bad.ok.any()
+    assert blame.phase5_blame(res.key, off_bad) == [[1]]

@@ -103,3 +103,31 @@ def test_rns_ctx_propagates_through_views(monkeypatch):
     for i in range(3):
         for j in range(2):
             assert int(got2[i, 0, j]) == pow(int(base2[i, 0, j]), 7, int(ns[0, 1]))
+
+
+def test_rns_exp_reduce_axis0():
+    """reduce_axis0: prod_s x_s^{e_s} over the leading axis, device-reduced
+    (the cross-session batch-verify reduction) — vs python pow/prod, with
+    a shared modulus along axis 0 and odd/even S."""
+    r = random.Random(0xED)
+    bits = 256
+    for S in (5, 8):
+        mods = _moduli(r, bits, 2)                       # [2] distinct
+        n = np.broadcast_to(mods, (1, 2))                # shared along axis 0
+        ctx = RnsCtx.from_ints(n, bits)
+        ctx0 = ctx.map_batch(lambda a: a[:1])
+        xs = np.asarray(
+            [[r.getrandbits(bits) for _ in range(2)] for _ in range(S)], dtype=object
+        )
+        es = np.asarray(
+            [[r.getrandbits(128) for _ in range(2)] for _ in range(S)], dtype=object
+        )
+        lz = rns.rns_exp_dispatch(ctx0, n[:1], xs, es, 128, reduce_axis0=True)
+        got = lz.ints()
+        assert got.shape == (1, 2)
+        for j in range(2):
+            m = int(mods[j])
+            want = 1
+            for s in range(S):
+                want = want * pow(int(xs[s, j]), int(es[s, j]), m) % m
+            assert int(got[0, j]) == want, (S, j)

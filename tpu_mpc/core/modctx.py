@@ -156,6 +156,32 @@ def host_mulmod(*arrays_then_mod) -> np.ndarray:
     return out.reshape(shape)
 
 
+def host_prod_axis0(vals, mod) -> np.ndarray:
+    """prod over the leading axis of object-int `vals` modulo `mod`
+    (mod: the shared [1, ...rest] or [...rest] modulus row) — the host
+    fallback of ModCtx.pow_prod_axis0."""
+    t0 = time.perf_counter() if PROFILE else 0.0
+    vals = np.asarray(vals, dtype=object)
+    S = vals.shape[0]
+    rest = vals.shape[1:]
+    mod_b = np.broadcast_to(np.asarray(mod, dtype=object), (1,) + rest)
+    flat = vals.reshape(S, -1)
+    fm = mod_b.reshape(-1)
+    out = np.empty(flat.shape[1], dtype=object)
+    for j in range(flat.shape[1]):
+        m = int(fm[j])
+        acc = 1
+        col = flat[:, j]
+        for s in range(S):
+            acc = acc * int(col[s]) % m
+        out[j] = acc
+    if PROFILE:
+        PROFILE_LOG.append(
+            ("host:prodax0", int(S * flat.shape[1]), 0, "-", time.perf_counter() - t0)
+        )
+    return out.reshape((1,) + rest)
+
+
 @dataclasses.dataclass
 class LazyInts:
     """A dispatched-but-not-synced modexp result.
@@ -198,6 +224,22 @@ class LazyMap:
 
     def ints(self):
         return self.fn(resolve(self.src))
+
+
+@dataclasses.dataclass
+class DeferredLaunch:
+    """A launch that has NOT been dispatched: .ints() dispatches on first
+    use and caches.  Used for values only rare paths need (e.g. the MtA
+    responder's encryption randomness r = g^t, revealed only on blame) —
+    the honest path never pays the launch."""
+
+    fn: object
+    _cache: object = None
+
+    def ints(self):
+        if self._cache is None:
+            self._cache = resolve(self.fn())
+        return self._cache
 
 
 @dataclasses.dataclass
@@ -269,6 +311,40 @@ class ModCtx:
             _rns=self._rns.map_batch(lambda a: jnp.expand_dims(a, axis))
             if self._rns is not None else None,
         )
+
+    def pow_prod_axis0(self, base_ints, exp_ints, ebits_hint: int,
+                       sync: bool = True):
+        """prod_s base_s^{exp_s} over the LEADING batch axis, device-reduced
+        before any host decode (the cross-session batch-verification
+        reduction).  Precondition: moduli constant along axis 0 (caller
+        verifies).  RNS path only; on CIOS backends falls back to pow +
+        host product.  Returns shape (1,) + batch[1:]."""
+        base = np.asarray(base_ints, dtype=object)
+        expv = np.asarray(exp_ints, dtype=object)
+        shape = np.broadcast_shapes(base.shape, expv.shape, self.batch_shape)
+        eb = ebits_class(max(ebits_hint, 1))
+        if rns_enabled() and len(shape) >= 1 and shape[0] > 1:
+            from . import rns
+
+            ctx0 = self.rns_ctx().map_batch(lambda a: a[:1])
+            t0 = time.perf_counter() if PROFILE else 0.0
+            lz = rns.rns_exp_dispatch(
+                ctx0, self.n_ints[:1],
+                np.broadcast_to(base, shape), np.broadcast_to(expv, shape),
+                eb, reduce_axis0=True,
+            )
+            if PROFILE or sync:
+                res = lz.ints()
+                if PROFILE:
+                    PROFILE_LOG.append(
+                        ("pow_red0", int(np.prod(shape)) if shape else 1,
+                         self.bits, eb, time.perf_counter() - t0)
+                    )
+                return res
+            return lz
+        vals = self.pow(base, expv, ebits_hint=ebits_hint, sync=True)
+        return host_prod_axis0(np.broadcast_to(np.asarray(vals, dtype=object), shape),
+                               np.broadcast_to(self.n_ints, shape)[:1])
 
     def pow(self, base_ints, exp_ints, ebits_hint: int | None = None,
             sync: bool = True) -> np.ndarray:

@@ -441,8 +441,14 @@ def _select_ch(table, digit, nent):
     return jnp.sum(jnp.where(mask, table, jnp.uint32(0)), axis=0)
 
 
-@functools.partial(jax.jit, static_argnames=("ebits", "nbits"))
-def _rns_exp_kernel(xA, xB, xr, e, ctx: RnsCtx, ebits: int, nbits: int):
+@functools.partial(jax.jit, static_argnames=("ebits", "nbits", "reduce_axis0"))
+def _rns_exp_kernel(xA, xB, xr, e, ctx: RnsCtx, ebits: int, nbits: int,
+                    reduce_axis0: bool = False):
+    """reduce_axis0: tree-multiply the results over the leading batch axis
+    IN-KERNEL (Montgomery domain) before conversion — prod_s x_s^{e_s} with
+    only ONE value per trailing slot crossing to the host.  Requires the
+    ctx (moduli) batch to be size-1 along axis 0 (shared moduli — the
+    cross-session batch-verification precondition)."""
     par = RnsParams(nbits)
     cs = _consts(par)
     nent = 1 << WINDOW
@@ -481,6 +487,21 @@ def _rns_exp_kernel(xA, xB, xr, e, ctx: RnsCtx, ebits: int, nbits: int):
         return rns_montmul(acc, ent, ctx, cs)
 
     acc = lax.fori_loop(0, nw, body, one)
+    if reduce_axis0:
+        # log-depth product over axis 0, still in Montgomery form (the
+        # domain is closed under rns_montmul)
+        while acc[0].shape[0] > 1:
+            n = acc[0].shape[0]
+            h = n // 2
+            pair = rns_montmul(
+                tuple(c[:h] for c in acc), tuple(c[n - h:] for c in acc), ctx, cs
+            )
+            if n % 2:
+                pair = tuple(
+                    jnp.concatenate([p, c[h:h + 1]], axis=0)
+                    for p, c in zip(pair, acc)
+                )
+            acc = pair
     # from_mont: montmul by integer 1 (residues all-one)
     res = rns_montmul(
         acc,
@@ -635,8 +656,12 @@ class RnsLazy:
         return _rns_decode(self.parts, self.shape, self.n_b, self.MA, self.mults)
 
 
-def rns_exp_dispatch(ctx: RnsCtx, n_ints, base_ints, exp_ints, ebits: int) -> RnsLazy:
-    """Launch x^e mod n via RNS Montgomery; returns an RnsLazy handle."""
+def rns_exp_dispatch(ctx: RnsCtx, n_ints, base_ints, exp_ints, ebits: int,
+                     reduce_axis0: bool = False) -> RnsLazy:
+    """Launch x^e mod n via RNS Montgomery; returns an RnsLazy handle.
+
+    reduce_axis0: device-side prod over the leading axis before decode
+    (see _rns_exp_kernel) — the ctx/moduli must be size-1 along axis 0."""
     par = RnsParams(ctx.params_nbits)
     base = np.asarray(base_ints, dtype=object)
     expv = np.asarray(exp_ints, dtype=object)
@@ -649,8 +674,11 @@ def rns_exp_dispatch(ctx: RnsCtx, n_ints, base_ints, exp_ints, ebits: int) -> Rn
     e = jnp.asarray(batch_to_limbs(np.broadcast_to(expv, shape), Le))
     parts = _rns_exp_kernel(
         A, B, r, e, ctx,
-        ebits=ebits, nbits=par.nbits,
+        ebits=ebits, nbits=par.nbits, reduce_axis0=reduce_axis0,
     )
+    if reduce_axis0:
+        shape = (1,) + shape[1:]
+        n_b = n_b[:1]
     return RnsLazy(parts=parts, shape=shape, n_b=n_b, MA=par.MA)
 
 

@@ -173,8 +173,13 @@ def message_b(
 
     nn = np.broadcast_to(ek.nn, shape)
     if ek.enc_tab_g is not None:
-        randomness, rn_l = ek.sample_unit_with_power(shape, rng, sync=False)
-        randomness = np.asarray(randomness, dtype=object)
+        # without a Bob range proof the r VALUE is only ever revealed on
+        # blame: defer its launch entirely (DeferredLaunch)
+        randomness, rn_l = ek.sample_unit_with_power(
+            shape, rng, sync=False, defer_value=prove_stmt is None
+        )
+        if prove_stmt is not None:
+            randomness = np.asarray(randomness, dtype=object)
     else:
         randomness = np.asarray(rng.below(n, shape), dtype=object)
         rn_l = ek.nn_ctx.pow(randomness, n, ek.n_ctx.bits, sync=False)
@@ -212,6 +217,19 @@ def message_b(
 
     msg = MessageBBatch(c=c_b, b_proof=b_proof, beta_tag_proof=beta_tag_proof, range_proofs=range_proofs)
     return msg, beta, randomness, beta_tag, alice_ok
+
+
+def msg_b_index(m: MessageBBatch, i: int) -> MessageBBatch:
+    """Slice a stacked-[2, ...] MessageBBatch (the gamma/w pair of the GG20
+    responder step) back into one path's view."""
+    sl = lambda p: sigma.DLogProof(
+        pk=dec.point_index_axis(p.pk, i, 0),
+        commitment=dec.point_index_axis(p.commitment, i, 0),
+        z=p.z[i],
+    )
+    return MessageBBatch(
+        c=m.c[i], b_proof=sl(m.b_proof), beta_tag_proof=sl(m.beta_tag_proof)
+    )
 
 
 def verify_proofs_get_alpha(

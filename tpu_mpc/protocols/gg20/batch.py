@@ -307,9 +307,13 @@ def offline_stage(
     # MessageA: alice i encrypts k_i, proving range to each peer j's stmt;
     # randomizer tables (when built at keygen/load) supply (r_a, r_a^N)
     # squaring-free
-    rn_a = None
+    rn_a = r_a_t = None
     if ek_s.enc_tab_g is not None:
-        r_a, rn_a = ek_s.sample_unit_with_power((S, tp), rng, sync=False)
+        # r_a itself stays a deferred launch: the proofs fold its table
+        # exponent r_a_t instead, and only a blame replay materializes r_a
+        r_a, rn_a, r_a_t = ek_s.sample_unit_with_power(
+            (S, tp), rng, sync=False, defer_value=True, want_t=True
+        )
     else:
         r_a = rng.below(np.broadcast_to(ek_s.n, (S, tp)), (S, tp))
     # Off-diagonal PACKED pair layout [S, alice, tp-1]: slot (i, kk) is the
@@ -324,30 +328,39 @@ def offline_stage(
 
     c_a = mta.paillier_encrypt_ints(ek_s, k, r_a, rn=rn_a)  # [S, tp] — one enc per alice
     alice_proofs = alice_prove(
-        k[:, :, None], c_a[:, :, None], ek_alice_pairs, stmt_peers, r_a[:, :, None], rng
+        k[:, :, None], c_a[:, :, None], ek_alice_pairs, stmt_peers,
+        None if r_a_t is not None else r_a[:, :, None], rng,
+        r_t=None if r_a_t is None else r_a_t[:, :, None],
     )  # [S, alice, peer-slot]
 
     # MessageB (bob j responds to alice i): verify alice proof against own
-    # stmt — the packed slot's statement IS bob's own (peers[i, kk] = j)
+    # stmt — the packed slot's statement IS bob's own (peers[i, kk] = j).
+    # Both responder paths (gamma and w) ride ONE stacked [2, ...] call:
+    # one randomizer launch, one c_a^b pow, one Enc product, stacked dlog
+    # proofs — the kernels broadcast over the extra leading axis.
     pshape = (S, tp, tp - 1)
     c_a_pairs = np.broadcast_to(c_a[:, :, None], pshape)
-    gamma_b = gamma[:, peers]                         # bob j's secret per slot
-    w_b = w[:, peers]
-    msg_b_gamma, beta_g, beta_rand, beta_tag, alice_ok = mta.message_b(
-        gamma_b, ek_alice_pairs, c_a_pairs, alice_proofs, stmt_peers, rng
+    from ...zk.batch_verify import alice_verify_fast
+
+    alice_ok = alice_verify_fast(alice_proofs, c_a_pairs, ek_alice_pairs, stmt_peers)
+    b_stack = np.stack([gamma[:, peers], w[:, peers]])  # bob j's secrets
+    msg_b2, beta2, beta_rand2, beta_tag2, _ = mta.message_b(
+        b_stack, ek_alice_pairs, c_a_pairs, None, None, rng
     )
-    msg_b_w, beta_w, _, _, _ = mta.message_b(
-        w_b, ek_alice_pairs, c_a_pairs, None, None, rng
-    )
+    beta_g, beta_w = beta2[0], beta2[1]
+    beta_tag = beta_tag2[0]
+    msg_b_gamma = mta.msg_b_index(msg_b2, 0)
+    msg_b_w = mta.msg_b_index(msg_b2, 1)
 
     dk_s = mta.expand_tree_axis(_dk_take(key.dk, s_parties, 1), 2)
     a_pairs = np.broadcast_to(k[:, :, None], pshape)
-    alpha, alpha_raw, ok_a = mta.verify_proofs_get_alpha(
-        dk_s, msg_b_gamma, a_pairs, pshape, ek_sk=ek_alice_pairs
+    # both paths' decrypts + proof checks in one stacked pass too
+    alpha2, alpha_raw2, ok2 = mta.verify_proofs_get_alpha(
+        dk_s, msg_b2, a_pairs[None], (2,) + pshape, ek_sk=ek_alice_pairs
     )
-    miu, miu_raw, ok_m = mta.verify_proofs_get_alpha(
-        dk_s, msg_b_w, a_pairs, pshape, ek_sk=ek_alice_pairs
-    )
+    alpha, miu = alpha2[0], alpha2[1]
+    alpha_raw, miu_raw = alpha_raw2[0], alpha_raw2[1]
+    ok_a, ok_m = ok2[0], ok2[1]
     # MtAwc check: bob's w commitment must match g_w_j (mta/mod.rs:204-209)
     gw_peers = dec.point_take(g_w, peers, 1)
     gwc = np.asarray(dec.point_eq(msg_b_w.b_proof.pk, gw_peers))
@@ -399,9 +412,10 @@ def offline_stage(
     )
     pdl_proofs = pdl_slack_prove(
         np.broadcast_to(k[:, :, None], pshape),
-        np.broadcast_to(r_a[:, :, None], pshape),
+        None if r_a_t is not None else np.broadcast_to(r_a[:, :, None], pshape),
         pdl_stmt,
         rng,
+        r_t=None if r_a_t is None else r_a_t[:, :, None],
     )
     from ...zk.batch_verify import pdl_slack_verify_fast
 
@@ -442,11 +456,22 @@ def offline_stage(
     # blame inputs stay DENSE [S, alice, bob] (blame.py replays eye-masked
     # dense matrices); diagonal fills are inert under the eye masks
     dense = lambda a, fill: _unpack_dense(np.asarray(a, dtype=object), peers, fill)
+    # the responder randomness is only revealed on blame: when the
+    # randomizer tables deferred its launch, keep it deferred (blame
+    # resolves); the gamma path is row 0 of the stacked pair
+    from ...core.modctx import LazyMap
+
+    if hasattr(beta_rand2, "ints"):
+        beta_rand_dense = LazyMap(
+            beta_rand2, lambda v: _unpack_dense(np.asarray(v, dtype=object)[0], peers, 1)
+        )
+    else:
+        beta_rand_dense = dense(beta_rand2[0], 1)
     return OfflineState(
         s_parties=s_parties, R=R, r_x=r_x, k=k, sigma_i=sigma_i, delta_i=delta_i,
         y=key.y, ok=np.asarray(ok), bad_actors=~per_party_ok,
         k_randomness=r_a, gamma=gamma, beta_g=dense(beta_g, 0),
-        beta_randomness=dense(beta_rand, 1),
+        beta_randomness=beta_rand_dense,
         beta_tag=dense(beta_tag, 0), alpha=dense(alpha_raw, 0), msg_a_c=c_a,
         msg_b_gamma_c=dense(msg_b_gamma.c, 0),
         R_bar=R_bar, S_i=S_i, T_i=T_i, l_i=l_i,

@@ -54,14 +54,25 @@ def phase5_blame(key: LocalKeyBatch20, off: OfflineState) -> list[list[int]]:
         g_gamma_rec = dec.mul_generator(_sc(np.mod(off.gamma, Q)))
         bad |= ~np.asarray(dec.point_eq(g_gamma_rec, off.g_gamma_decommit))
 
-    # 2. check message A: re-encrypt k with revealed randomness
-    c_a_replay = mta.paillier_encrypt_ints(ek_s, np.mod(off.k, Q), off.k_randomness)
+    # 2. check message A: re-encrypt k with revealed randomness (possibly a
+    # deferred randomizer-table handle — resolve materializes it)
+    from ...core.modctx import resolve as _res0
+
+    c_a_replay = mta.paillier_encrypt_ints(
+        ek_s, np.mod(off.k, Q), _res0(off.k_randomness)
+    )
     bad |= c_a_replay != off.msg_a_c
 
     # 3. replay message B matrix
     c_a_pairs = np.broadcast_to(off.msg_a_c[:, :, None], (S, tp, tp))
     ek_pairs = ek_s.expand(2)
-    c_beta_tag = mta.paillier_encrypt_ints(ek_pairs, off.beta_tag, off.beta_randomness)
+    from ...core.modctx import resolve as _resolve
+
+    # beta_randomness may be a deferred handle (randomizer-table sampling
+    # defers the r value's launch until a blame actually needs it)
+    c_beta_tag = mta.paillier_encrypt_ints(
+        ek_pairs, off.beta_tag, _resolve(off.beta_randomness)
+    )
     b_ca = ek_pairs.nn_ctx.pow(c_a_pairs, np.mod(off.gamma[:, None, :], Q), 256)
     from ...zk.range_proofs import _mulmod
 
@@ -131,7 +142,11 @@ def phase6_blame(
     bad |= np.where(eye, False, c_replay != off.m_b_w_c).any(axis=2)
 
     # 2. re-encrypt k
-    c_a_replay = mta.paillier_encrypt_ints(ek_s, np.mod(off.k, Q), off.k_randomness)
+    from ...core.modctx import resolve as _res6
+
+    c_a_replay = mta.paillier_encrypt_ints(
+        ek_s, np.mod(off.k, Q), _res6(off.k_randomness)
+    )
     bad |= c_a_replay != off.msg_a_c
 
     # 3. reconstruct g_sigma_i and check the ECDDH proofs

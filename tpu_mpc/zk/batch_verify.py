@@ -104,34 +104,6 @@ def sample_gammas(shape) -> np.ndarray:
     return out.reshape(shape)
 
 
-def _prod_axis0(vals, mod) -> np.ndarray:
-    """prod over the leading axis of object-int `vals` modulo `mod`
-    (mod: the shared [1, ...rest] or [...rest] modulus row)."""
-    from ..core import modctx as _m
-
-    t0 = _m.time.perf_counter() if _m.PROFILE else 0.0
-    vals = np.asarray(vals, dtype=object)
-    S = vals.shape[0]
-    rest = vals.shape[1:]
-    mod_b = np.broadcast_to(np.asarray(mod, dtype=object), (1,) + rest)
-    flat = vals.reshape(S, -1)
-    fm = mod_b.reshape(-1)
-    out = np.empty(flat.shape[1], dtype=object)
-    for j in range(flat.shape[1]):
-        m = int(fm[j])
-        acc = 1
-        col = flat[:, j]
-        for s in range(S):
-            acc = acc * int(col[s]) % m
-        out[j] = acc
-    if _m.PROFILE:
-        _m.PROFILE_LOG.append(
-            ("host:prodax0", int(S * flat.shape[1]), 0, "-",
-             _m.time.perf_counter() - t0)
-        )
-    return out.reshape((1,) + rest)
-
-
 def _sum_axis0(g, x) -> np.ndarray:
     """sum_s g_s * x_s over the leading axis (object ints, no reduction)."""
     prod = np.asarray(g, dtype=object) * np.asarray(x, dtype=object)
@@ -166,21 +138,17 @@ def alice_verify_fast(
     # must not force the equation fallback
     g = sample_gammas(shape) * cheap_ok
 
-    # per-session gamma-weighted LHS terms (w z^e)^g = w^g z^(ge) and
-    # (u c^e)^g = u^g c^(ge): ONE 2-base shared-squaring launch per equation
-    # (folding g in beats computing the per-session LHS then a second
-    # 128-bit pow — the RNS base-conversion fixed cost dominates at these
-    # exponent widths); all dispatches async
+    # gamma-weighted products, reduced over the sessions axis ON DEVICE
+    # (ModCtx.pow_prod_axis0): prod (w z^e)^g = (prod w^g)(prod z^(ge)) etc.
+    # — only [1, ...] slots cross to the host, so the per-launch decode of
+    # S values (the dominant host cost of the first batched-verify cut)
+    # disappears; all dispatches async
     ge = g * np.asarray(e, dtype=object)
-    wz_g_l = stmt.ctx.pow_prod(
-        [proof.w, proof.z], [g, ge],
-        ebits_hints=(GAMMA_BITS, GAMMA_BITS + E_BITS), sync=False,
-    )
-    uc_g_l = ek.nn_ctx.pow_prod(
-        [proof.u, cipher], [g, ge],
-        ebits_hints=(GAMMA_BITS, GAMMA_BITS + E_BITS), sync=False,
-    )
-    sg_l = ek.nn_ctx.pow(proof.s, g, ebits_hint=GAMMA_BITS, sync=False)
+    wg_l = stmt.ctx.pow_prod_axis0(proof.w, g, GAMMA_BITS, sync=False)
+    zge_l = stmt.ctx.pow_prod_axis0(proof.z, ge, GAMMA_BITS + E_BITS, sync=False)
+    ug_l = ek.nn_ctx.pow_prod_axis0(proof.u, g, GAMMA_BITS, sync=False)
+    cge_l = ek.nn_ctx.pow_prod_axis0(cipher, ge, GAMMA_BITS + E_BITS, sync=False)
+    sg_l = ek.nn_ctx.pow_prod_axis0(proof.s, g, GAMMA_BITS, sync=False)
 
     # collapsed RHSs at one session's moduli/bases
     ek0 = ek.take(np.arange(1), 0)
@@ -191,11 +159,12 @@ def alice_verify_fast(
     rhs_w0_l = stmt0.pow_h1h2(
         E1, E2, hints=(776 + eb_sum, 768 + tb + 16 + eb_sum), sync=False
     )
-    P_s = _prod_axis0(resolve(sg_l), nn[:1])
+    P_s = np.asarray(resolve(sg_l), dtype=object)
     rhs_u0_l = ek0.nn_ctx.pow(P_s, ek0.n, ebits_hint=ek.n_ctx.bits, sync=False)
 
-    P_w = _prod_axis0(resolve(wz_g_l), np.broadcast_to(stmt.ctx.n_ints, shape)[:1])
-    P_u = _prod_axis0(resolve(uc_g_l), nn[:1])
+    nt0 = np.broadcast_to(stmt.ctx.n_ints, shape)[:1]
+    P_w = host_mulmod(resolve(wg_l), resolve(zge_l), nt0)
+    P_u = host_mulmod(resolve(ug_l), resolve(cge_l), nn[:1])
     n0 = np.broadcast_to(ek0.n, (1,) + shape[1:])
     lin = host_mulmod(E1, np.ones_like(n0), n0) * n0 + 1  # 1 + N (sum g s1) mod N^2
     rhs_u0 = host_mulmod(resolve(rhs_u0_l), lin, np.broadcast_to(ek0.nn, (1,) + shape[1:]))
@@ -230,15 +199,15 @@ def pdl_slack_verify_fast(
     g = sample_gammas(shape) * cheap_ok
 
     ge = g * np.asarray(e, dtype=object)
-    u2c_g_l = stmt.ek.nn_ctx.pow_prod(
-        [proof.u2, stmt.ciphertext], [g, ge],
-        ebits_hints=(GAMMA_BITS, GAMMA_BITS + E_BITS), sync=False,
+    u2g_l = stmt.ek.nn_ctx.pow_prod_axis0(proof.u2, g, GAMMA_BITS, sync=False)
+    cge_l = stmt.ek.nn_ctx.pow_prod_axis0(
+        stmt.ciphertext, ge, GAMMA_BITS + E_BITS, sync=False
     )
-    u3z_g_l = stmt.dlog.ctx.pow_prod(
-        [proof.u3, proof.z], [g, ge],
-        ebits_hints=(GAMMA_BITS, GAMMA_BITS + E_BITS), sync=False,
+    u3g_l = stmt.dlog.ctx.pow_prod_axis0(proof.u3, g, GAMMA_BITS, sync=False)
+    zge_l = stmt.dlog.ctx.pow_prod_axis0(
+        proof.z, ge, GAMMA_BITS + E_BITS, sync=False
     )
-    s2g_l = stmt.ek.nn_ctx.pow(proof.s2, g, ebits_hint=GAMMA_BITS, sync=False)
+    s2g_l = stmt.ek.nn_ctx.pow_prod_axis0(proof.s2, g, GAMMA_BITS, sync=False)
 
     ek0 = stmt.ek.take(np.arange(1), 0)
     dlog0 = stmt.dlog.take(np.arange(1), 0)
@@ -248,12 +217,13 @@ def pdl_slack_verify_fast(
     rhs_u30_l = dlog0.pow_h1h2(
         E1, E3, hints=(776 + eb_sum, 768 + tb + 16 + eb_sum), sync=False
     )
-    P_s2 = _prod_axis0(resolve(s2g_l), nn[:1])
+    P_s2 = np.asarray(resolve(s2g_l), dtype=object)
     rhs_u20_l = ek0.nn_ctx.pow(P_s2, ek0.n, ebits_hint=stmt.ek.n_ctx.bits, sync=False)
 
-    P_u2 = _prod_axis0(resolve(u2c_g_l), nn[:1])
-    P_u3 = _prod_axis0(
-        resolve(u3z_g_l), np.broadcast_to(stmt.dlog.ctx.n_ints, shape)[:1]
+    P_u2 = host_mulmod(resolve(u2g_l), resolve(cge_l), nn[:1])
+    P_u3 = host_mulmod(
+        resolve(u3g_l), resolve(zge_l),
+        np.broadcast_to(stmt.dlog.ctx.n_ints, shape)[:1],
     )
     n0 = np.broadcast_to(ek0.n, (1,) + shape[1:])
     lin = host_mulmod(E1, np.ones_like(n0), n0) * n0 + 1

@@ -61,8 +61,12 @@ def _u1_hash_ints(u1_x, u1_y):
     return point_hash_ints(pts_from_xy(u1_x, u1_y))
 
 
-def pdl_slack_prove(x_ints, r_ints, stmt: PDLwSlackStatementBatch, rng) -> PDLwSlackProofBatch:
-    """x: dlog witness (< q); r: Paillier randomness of the ciphertext."""
+def pdl_slack_prove(x_ints, r_ints, stmt: PDLwSlackStatementBatch, rng,
+                    r_t=None) -> PDLwSlackProofBatch:
+    """x: dlog witness (< q); r: Paillier randomness of the ciphertext.
+
+    r_t: table exponent of r (see alice_prove) — folds s2 = r^e beta into
+    one fixed-base power."""
     x = np.asarray(x_ints, dtype=object)
     shape = np.broadcast_shapes(x.shape, stmt.dlog.ctx.batch_shape, stmt.ek.n_ctx.batch_shape)
     n_t = np.broadcast_to(stmt.dlog.ctx.n_ints, shape)
@@ -70,9 +74,12 @@ def pdl_slack_prove(x_ints, r_ints, stmt: PDLwSlackStatementBatch, rng) -> PDLwS
     nn = np.broadcast_to(stmt.ek.nn, shape)
 
     alpha = rng.below(Q3, shape)
-    beta = u2_l = None
+    beta = u2_l = beta_t = None
+    use_fold = stmt.ek.enc_tab_g is not None and r_t is not None
     if stmt.ek.enc_tab_g is not None:
-        beta, u2_l = stmt.ek.sample_unit_with_power(shape, rng, sync=False)
+        beta, u2_l, beta_t = stmt.ek.sample_unit_with_power(
+            shape, rng, sync=False, defer_value=use_fold, want_t=True
+        )
     else:
         one = np.ones(shape, dtype=object) if shape else 1
         beta = rng.below(n - 1, shape) + one      # sample_range(1, n-1)
@@ -108,7 +115,13 @@ def pdl_slack_prove(x_ints, r_ints, stmt: PDLwSlackStatementBatch, rng) -> PDLwS
     gi, qi, u1i = point_hash_ints_many(stmt.G_pt, stmt.Q_pt, u1_pt)
     e = digest_rows(gi, qi, stmt.ciphertext, z, u1i, u2, u3)
     s1 = e * x + alpha
-    s2 = _mulmod(stmt.ek.n_ctx.pow(r_ints, e, ebits_hint=E_BITS), beta, n)
+    if use_fold:
+        s2 = resolve(stmt.ek.pow_enc_base(
+            np.asarray(r_t, dtype=object) * e + beta_t,
+            ebits_hint=stmt.ek.enc_table_max_ebits(stmt.ek.n_ctx.bits),
+        ))
+    else:
+        s2 = _mulmod(stmt.ek.n_ctx.pow(r_ints, e, ebits_hint=E_BITS), beta, n)
     s3 = e * rho + gamma
     return PDLwSlackProofBatch(z=z, u1_x=u1_x, u1_y=u1_y, u2=u2, u3=u3, s1=s1, s2=s2, s3=s3)
 

@@ -303,6 +303,12 @@ class PaillierCtxBatch:
 
     _ENC_EBITS = 64                        # t < N * 2^_ENC_EBITS
 
+    @classmethod
+    def enc_table_max_ebits(cls, bits: int) -> int:
+        # widest table exponent: t*e + t' < 2^(bits + _ENC_EBITS + E_BITS + 8)
+        # (the folded proof response s = g^(t_r e + t_beta), see alice_prove)
+        return bits + cls._ENC_EBITS + E_BITS + 8
+
     def ensure_enc_tables(self) -> "PaillierCtxBatch":
         """Build the (g, h) randomizer tables (idempotent; call on the
         small pre-tile key batch, like DlogStatementBatch.ensure_tables)."""
@@ -318,7 +324,7 @@ class PaillierCtxBatch:
             self.pow_n_sk(g) if self.sk_ctx is not None
             else self.nn_ctx.pow(g, self.n, ebits_hint=self.n_ctx.bits)
         )
-        max_eb = self.n_ctx.bits + self._ENC_EBITS
+        max_eb = self.enc_table_max_ebits(self.n_ctx.bits)
         self.enc_g = g
         if rns_enabled():
             self.enc_tab_g = self.n_ctx.make_tables_rns(g[None], max_ebits=max_eb)[0]
@@ -330,31 +336,76 @@ class PaillierCtxBatch:
             self.enc_tab_rns = False
         return self
 
-    def sample_unit_with_power(self, shape, rng, sync: bool = False):
-        """-> (u ints, u^N mod N^2 lazy): a unit with its N-th power.
+    def sample_unit_with_power(self, shape, rng, sync: bool = False,
+                               defer_value: bool = False, want_t: bool = False):
+        """-> (u, u^N mod N^2 lazy[, t]): a unit with its N-th power.
 
         Table path when built+enabled (u = g^t); otherwise uniform unit
         with the owner-CRT or full-width pow — semantics of every caller
-        (encryption randomness, proof maskers) are identical either way."""
-        from ..core.modctx import resolve as _res
+        (encryption randomness, proof maskers) are identical either way.
+
+        defer_value=True (table path): the u VALUE's launch is not even
+        dispatched — callers that only reveal u on blame get a
+        DeferredLaunch handle (resolve() materializes on demand).
+        want_t=True: also return the table exponent t (None off-table) so
+        provers can fold g^t powers (e.g. s = g^(t_r e + t_beta))."""
+        from ..core.modctx import DeferredLaunch, resolve as _res
 
         n_b = np.broadcast_to(self.n, shape)
         if self.enc_tab_g is not None:
+            import jax.numpy as jnp
+
             t = rng.below(n_b << self._ENC_EBITS, shape)
             eb = (self.n_ctx.bits + self._ENC_EBITS,)
+            # extra leading batch dims (e.g. a stacked gamma/w path axis)
+            # need matching broadcast axes in the table batch (at 2..)
+            extra = max(0, len(shape) - len(self.n_ctx.batch_shape))
+
+            def grow(c):
+                for _ in range(extra):
+                    c = jnp.expand_dims(c, 2)
+                return c
+
+            ex = lambda T: tuple(grow(c) for c in T) if isinstance(T, tuple) else grow(T)
+            tab_g, tab_h = ex(self.enc_tab_g), ex(self.enc_tab_h)
             if self.enc_tab_rns:
-                u_l = self.n_ctx.pow_fixed_prod_rns((self.enc_tab_g,), [t], eb, sync=False)
-                un_l = self.nn_ctx.pow_fixed_prod_rns((self.enc_tab_h,), [t], eb, sync=sync)
+                u_fn = lambda: self.n_ctx.pow_fixed_prod_rns(
+                    (tab_g,), [t], eb, sync=False
+                )
+                un_l = self.nn_ctx.pow_fixed_prod_rns((tab_h,), [t], eb, sync=sync)
             else:
-                u_l = self.n_ctx.pow_fixed_prod((self.enc_tab_g,), [t], eb, sync=False)
-                un_l = self.nn_ctx.pow_fixed_prod((self.enc_tab_h,), [t], eb, sync=sync)
-            return _res(u_l), un_l
+                u_fn = lambda: self.n_ctx.pow_fixed_prod(
+                    (tab_g,), [t], eb, sync=False
+                )
+                un_l = self.nn_ctx.pow_fixed_prod((tab_h,), [t], eb, sync=sync)
+            u = DeferredLaunch(u_fn) if defer_value else _res(u_fn())
+            return (u, un_l, t) if want_t else (u, un_l)
         u = rng.units_below(n_b, shape)
         if self.sk_ctx is not None:
             un_l = self.pow_n_sk(u, sync=sync)
         else:
             un_l = self.nn_ctx.pow(u, n_b, ebits_hint=self.n_ctx.bits, sync=sync)
-        return u, un_l
+        return (u, un_l, None) if want_t else (u, un_l)
+
+    def pow_enc_base(self, exps, ebits_hint: int, sync: bool = False):
+        """g^e mod N from the randomizer table (e < enc_table_max_ebits) —
+        the fold for proof responses s = r^e beta = g^(t_r e + t_beta)."""
+        import jax.numpy as jnp
+
+        exps = np.asarray(exps, dtype=object)
+        shape = np.broadcast_shapes(exps.shape, self.n_ctx.batch_shape)
+        extra = max(0, len(shape) - len(self.n_ctx.batch_shape))
+
+        def grow(c):
+            for _ in range(extra):
+                c = jnp.expand_dims(c, 2)
+            return c
+
+        T = self.enc_tab_g
+        T = tuple(grow(c) for c in T) if isinstance(T, tuple) else grow(T)
+        if self.enc_tab_rns:
+            return self.n_ctx.pow_fixed_prod_rns((T,), [exps], (ebits_hint,), sync=sync)
+        return self.n_ctx.pow_fixed_prod((T,), [exps], (ebits_hint,), sync=sync)
 
     def decrypt_sk(self, c_ints, sync: bool = True):
         """CRT Paillier decrypt on the ModCtx path: the two half-width
@@ -371,8 +422,14 @@ class PaillierCtxBatch:
             np.broadcast_to(self.sk_p, shape) - 1,
             np.broadcast_to(self.sk_q, shape) - 1,
         ])
-        u_l = self.sk_ctx.pow(c[None], exps, ebits_hint=self.n_ctx.bits // 2,
-                              sync=False)
+        # extra leading batch dims of c (e.g. the stacked gamma/w path axis)
+        # must NOT right-align against the sk ctx's own (p^2, q^2) axis:
+        # insert broadcast axes after it so pq stays the leading axis
+        sk_ctx = self.sk_ctx
+        for _ in range(max(0, len(shape) - len(self.n_ctx.batch_shape))):
+            sk_ctx = sk_ctx.expand(1)
+        u_l = sk_ctx.pow(c[None], exps, ebits_hint=self.n_ctx.bits // 2,
+                         sync=False)
         pb = np.broadcast_to(self.sk_p, shape).reshape(-1)
         qb = np.broadcast_to(self.sk_q, shape).reshape(-1)
         hpb = np.broadcast_to(self.sk_hp, shape).reshape(-1)
@@ -577,15 +634,24 @@ class AliceProofBatch:
     w: np.ndarray = None
 
 
-def alice_prove(a_ints, cipher, ek: PaillierCtxBatch, stmt: DlogStatementBatch, r_ints, rng) -> AliceProofBatch:
-    """a: plaintexts (< q); cipher: Enc(a); r: encryption randomness."""
+def alice_prove(a_ints, cipher, ek: PaillierCtxBatch, stmt: DlogStatementBatch, r_ints, rng,
+                r_t=None) -> AliceProofBatch:
+    """a: plaintexts (< q); cipher: Enc(a); r: encryption randomness.
+
+    r_t: the table exponent of r (r = g^(r_t), randomizer-table sampling):
+    when given, the response s = r^e beta folds into ONE fixed-base power
+    g^(r_t e + t_beta) and neither r nor beta is ever materialized on the
+    honest path."""
     a = np.asarray(a_ints, dtype=object)
     shape = np.broadcast_shapes(a.shape, stmt.ctx.batch_shape, ek.n_ctx.batch_shape)
     n_t = np.broadcast_to(stmt.ctx.n_ints, shape)
     alpha = rng.below(Q3, shape)
-    beta = beta_n_l = None
+    beta = beta_n_l = beta_t = None
+    use_fold = ek.enc_tab_g is not None and r_t is not None
     if ek.enc_tab_g is not None:
-        beta, beta_n_l = ek.sample_unit_with_power(shape, rng, sync=False)
+        beta, beta_n_l, beta_t = ek.sample_unit_with_power(
+            shape, rng, sync=False, defer_value=use_fold, want_t=True
+        )
     else:
         beta = rng.units_below(np.broadcast_to(ek.n, shape), shape)
     gamma = rng.below(Q3 * n_t, shape)
@@ -622,7 +688,14 @@ def alice_prove(a_ints, cipher, ek: PaillierCtxBatch, stmt: DlogStatementBatch, 
     gen = np.broadcast_to(ek.n, shape) + 1
     e = digest_rows(np.broadcast_to(ek.n, shape), gen, cipher, z, u, w)
 
-    s = _mulmod(ek.n_ctx.pow(r_ints, e, ebits_hint=E_BITS), beta, np.broadcast_to(ek.n, shape))
+    if use_fold:
+        s = resolve(ek.pow_enc_base(
+            np.asarray(r_t, dtype=object) * e + beta_t,
+            ebits_hint=ek.enc_table_max_ebits(ek.n_ctx.bits),
+        ))
+    else:
+        s = _mulmod(ek.n_ctx.pow(r_ints, e, ebits_hint=E_BITS), beta,
+                    np.broadcast_to(ek.n, shape))
     s1 = e * a + alpha
     s2 = e * rho + gamma
     return AliceProofBatch(z=z, e=e, s=s, s1=s1, s2=s2, u=u, w=w)

@@ -32,7 +32,7 @@ zkcore:test_range_proofs.py,test_batch_verify.py
 ec:test_ec.py,test_zk_vss.py
 runtime:test_runtime.py,test_sharding.py,test_production_width.py
 twoparty:test_lindell17.py,test_cclst.py,test_backup.py
-paillier:test_paillier.py,test_pdl.py
+paillier:test_paillier.py,test_pdl.py,test_gg20_extra.py
 kernels:test_bigint.py,test_montgomery.py,test_rns.py,test_bench_cache.py,test_fixtures.py
 "
 

@@ -315,6 +315,9 @@ def _load_or_build_tables(key_path, stmt, ek):
                     ek.ensure_enc_tables()  # cache predates the enc tables
             else:
                 stmt.tables = (J("h0"), J("h1"))
+                # enc tables are not persisted in CIOS form: rebuild so a
+                # warm run measures the same code path as a cold one
+                ek.ensure_enc_tables()
             return
     stmt.ensure_tables()
     ek.ensure_enc_tables()

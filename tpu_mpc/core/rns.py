@@ -620,7 +620,23 @@ def rns_make_tables(ctx: RnsCtx, n_ints, bases, max_ebits: int, nbits: int):
 
 
 def rns_fixed_prod_dispatch(ctx: RnsCtx, n_ints, tables, exps, ebits_list, nbits: int):
-    """Launch the squaring-free fixed-base product; returns RnsLazy."""
+    """Launch the squaring-free fixed-base product; returns RnsLazy.
+
+    Pallas path (TPU): the kernel streams each base's table as [nw, G*16]
+    entry rows (G = flattened key-group count), so it serves both the G=1
+    shared-key pattern and multi-tenant G>1 batches; all bases in one call
+    must share G (true for h1/h2 pairs and the enc-base pair), and G is
+    capped to keep the per-window VMEM block small."""
+    from . import pallas_rns
+
+    if pallas_rns.pallas_enabled():
+        gs = {
+            int(np.prod(t[0].shape[2:-1], dtype=np.int64)) for t in tables
+        }
+        if len(gs) == 1 and gs.pop() * 16 <= 512:
+            return pallas_rns.fixed_prod_dispatch(
+                ctx, n_ints, tables, exps, ebits_list, nbits
+            )
     exps = [np.asarray(e, dtype=object) for e in exps]
     n_arr = np.asarray(n_ints, dtype=object)
     shape = np.broadcast_shapes(n_arr.shape, *(e.shape for e in exps))
@@ -661,7 +677,18 @@ def rns_exp_dispatch(ctx: RnsCtx, n_ints, base_ints, exp_ints, ebits: int,
     """Launch x^e mod n via RNS Montgomery; returns an RnsLazy handle.
 
     reduce_axis0: device-side prod over the leading axis before decode
-    (see _rns_exp_kernel) — the ctx/moduli must be size-1 along axis 0."""
+    (see _rns_exp_kernel) — the ctx/moduli must be size-1 along axis 0.
+
+    On TPU (or with TPU_MPC_PALLAS=1) the exponentiation runs as the fused
+    Pallas kernel in core/pallas_rns.py; the XLA kernel below is the
+    fallback and the reference for its numerics."""
+    from . import pallas_rns
+
+    if pallas_rns.pallas_enabled():
+        return pallas_rns.exp_dispatch(
+            ctx, n_ints, base_ints, exp_ints, ebits,
+            reduce_axis0=reduce_axis0,
+        )
     par = RnsParams(ctx.params_nbits)
     base = np.asarray(base_ints, dtype=object)
     expv = np.asarray(exp_ints, dtype=object)
@@ -688,14 +715,22 @@ def rns_exp(ctx: RnsCtx, n_ints, base_ints, exp_ints, ebits: int) -> np.ndarray:
 
 
 def _rns_decode(parts, shape, n_b, MA, mults=()) -> np.ndarray:
-    p00, p01, p10, p11 = parts
-    # exact recombination: columns < K*2^32 fit int64
-    cols = (
-        np.asarray(p00).astype(np.int64)
-        + (np.asarray(p01).astype(np.int64) << 8)
-        + (np.asarray(p10).astype(np.int64) << 8)
-        + (np.asarray(p11).astype(np.int64) << 16)
-    )
+    if len(parts) == 2:
+        # packed planes from the Pallas decode epilogue: v = lo + hi*2^16
+        lo, hi = parts
+        cols = (
+            np.asarray(lo).astype(np.int64)
+            + (np.asarray(hi).astype(np.int64) << 16)
+        )
+    else:
+        p00, p01, p10, p11 = parts
+        # exact recombination: columns < K*2^32 fit int64
+        cols = (
+            np.asarray(p00).astype(np.int64)
+            + (np.asarray(p01).astype(np.int64) << 8)
+            + (np.asarray(p10).astype(np.int64) << 8)
+            + (np.asarray(p11).astype(np.int64) << 16)
+        )
     # vectorized carry propagation to canonical 16-bit limbs (+ overflow tail)
     Lout = cols.shape[-1]
     flat = cols.reshape(-1, Lout)

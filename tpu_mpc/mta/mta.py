@@ -213,6 +213,7 @@ def message_b(
             rng,
             check=wc,
             X_pts=X_pts,
+            r_is_table=ek.enc_tab_g is not None,
         )
 
     msg = MessageBBatch(c=c_b, b_proof=b_proof, beta_tag_proof=beta_tag_proof, range_proofs=range_proofs)

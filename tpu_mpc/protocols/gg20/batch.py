@@ -264,6 +264,28 @@ class OfflineState:
         )
 
 
+def _corrupt_slots(parties, S: int):
+    """Yield (session index/slice, party slot) pairs for a corrupt spec:
+    flat list = same slots in every session; list of lists = per-session."""
+    if parties and isinstance(parties[0], (list, tuple)):
+        for b, ps in enumerate(parties):
+            for pi in ps:
+                yield b, pi
+    else:
+        for pi in parties:
+            yield slice(None), pi
+
+
+def _double_mod_q(arr, b, pi):
+    """arr[b, pi] := 2*arr[b, pi] mod Q for object arrays — scalar cells
+    come back as bare python ints (np.mod on those overflows C long)."""
+    v = arr[b, pi]
+    if isinstance(v, np.ndarray):
+        arr[b, pi] = np.mod(v * 2, Q)
+    else:
+        arr[b, pi] = (int(v) * 2) % int(Q)
+
+
 def offline_stage(
     key: LocalKeyBatch20, s_parties: list[int], rng: SessionRng,
     corrupt: dict | None = None,
@@ -272,6 +294,10 @@ def offline_stage(
 
     corrupt: optional {"step": 5|6, "parties": [slot indices]} fault
     injection — doubles delta_i / sigma_i like gg_2020/test.rs:459-465.
+    `parties` may also be a per-session list of lists ([S][...]): session b
+    then gets its own corrupted set — lets a test run a whole corruption
+    matrix as ONE batched launch set (the sessions axis is the scenario
+    axis, exactly the single-process multi-party pattern of SURVEY §4.1).
     """
     S = key.S
     tp = len(s_parties)
@@ -376,11 +402,11 @@ def offline_stage(
     sigma_i = np.mod(kw + np.sum(miu, axis=2) + np.sum(beta_w[:, iinv, kidx], axis=2), Q)
 
     if corrupt and corrupt.get("step") == 5:
-        for pi in corrupt["parties"]:
-            delta_i[:, pi] = np.mod(delta_i[:, pi] * 2, Q)
+        for b, pi in _corrupt_slots(corrupt["parties"], S):
+            _double_mod_q(delta_i, b, pi)
     if corrupt and corrupt.get("step") == 6:
-        for pi in corrupt["parties"]:
-            sigma_i[:, pi] = np.mod(sigma_i[:, pi] * 2, Q)
+        for b, pi in _corrupt_slots(corrupt["parties"], S):
+            _double_mod_q(sigma_i, b, pi)
 
     # phase 3: T_i = sigma_i G + l_i H2 + Pedersen proof (party_i.rs:620-634)
     l_i = rng.scalars((S, tp))
@@ -552,8 +578,8 @@ def sign_online(off: OfflineState, m_int, corrupt: dict | None = None) -> SignRe
     m_arr = np.broadcast_to(np.asarray(m_int, dtype=object), (S,))
     s_i = np.mod(np.mod(m_arr, Q)[:, None] * off.k + off.r_x[:, None] * off.sigma_i, Q)
     if corrupt and corrupt.get("step") == 7:
-        for pi in corrupt["parties"]:
-            s_i[:, pi] = np.mod(s_i[:, pi] * 2, Q)
+        for b, pi in _corrupt_slots(corrupt["parties"], S):
+            _double_mod_q(s_i, b, pi)
     s_sum = np.mod(np.sum(s_i, axis=1), Q)
     _, ry_l, _ = dec.to_affine(off.R)
     ry = batch_from_limbs(np.asarray(ry_l))

@@ -49,14 +49,36 @@ def ct_eq_int_batch(a, b, width_bits: int = 256) -> np.ndarray:
 
 def scrub_array(*arrays) -> None:
     """Best-effort zeroize: mutable numeric ndarrays are zeroed in place;
-    object ndarrays have their int references replaced with 0."""
+    object ndarrays have their int references replaced with 0.  Lazy launch
+    handles (LazyInts/RnsLazy/LazyMap/DeferredLaunch, anything exposing
+    .ints()) are recognised: their resolved caches are scrubbed and the
+    handle is defused so a later .ints() cannot re-materialize the secret
+    (ADVICE r4: np.asarray on a handle used to wrap it in a 0-d object
+    array, silently skipping it)."""
     for a in arrays:
         if a is None:
+            continue
+        if hasattr(a, "ints"):        # lazy handle, not an ndarray
+            cache = getattr(a, "_cache", None)
+            if cache is not None:
+                scrub_array(cache)
+                a._cache = None
+            src = getattr(a, "src", None)
+            if src is not None:
+                scrub_array(src)
+            for attr in ("dev", "parts", "fn"):
+                if hasattr(a, attr):
+                    try:
+                        setattr(a, attr, None)   # defuse re-materialization
+                    except Exception:
+                        pass
             continue
         arr = np.asarray(a)
         if arr.dtype == object:
             flat = arr.reshape(-1)
             for i in range(flat.shape[0]):
+                if hasattr(flat[i], "ints"):
+                    scrub_array(flat[i])
                 flat[i] = 0
         elif arr.flags.writeable:
             arr.fill(0)

@@ -67,12 +67,13 @@ from .range_proofs import (
 GAMMA_BITS = 128
 _MIN_SESSIONS = 8  # below this the per-session path is cheaper (launch cost)
 
-_ENV = os.environ.get("TPU_MPC_BATCH_VERIFY")
-
 
 def _enabled(S: int) -> bool:
-    if _ENV is not None:
-        return _ENV == "1"
+    # read per call (not at import): TPU_MPC_BATCH_VERIFY is a
+    # security-relevant opt-out and must work regardless of import order
+    env = os.environ.get("TPU_MPC_BATCH_VERIFY")
+    if env is not None:
+        return env == "1"
     return S >= _MIN_SESSIONS
 
 

@@ -76,9 +76,11 @@ def pdl_slack_prove(x_ints, r_ints, stmt: PDLwSlackStatementBatch, rng,
     alpha = rng.below(Q3, shape)
     beta = u2_l = beta_t = None
     use_fold = stmt.ek.enc_tab_g is not None and r_t is not None
-    if stmt.ek.enc_tab_g is not None:
+    # beta's sampling must match r's (see alice_prove): table-beta only
+    # when the witness randomness was itself table-sampled (r_t given)
+    if use_fold:
         beta, u2_l, beta_t = stmt.ek.sample_unit_with_power(
-            shape, rng, sync=False, defer_value=use_fold, want_t=True
+            shape, rng, sync=False, defer_value=True, want_t=True
         )
     else:
         one = np.ones(shape, dtype=object) if shape else 1

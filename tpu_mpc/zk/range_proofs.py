@@ -168,16 +168,18 @@ class DlogStatementBatch:
         )
 
 
-_ENC_TABLES_ENV = __import__("os").environ.get("TPU_MPC_ENC_TABLES")
 _ENC_TABLES_AUTO: bool | None = None
 
 
 def enc_tables_enabled() -> bool:
     """Randomizer-base tables knob: '1' force on, '0' off, unset = auto
-    (on for accelerators, like the RNS backend — THREAT_MODEL.md §7)."""
+    (on for accelerators, like the RNS backend — THREAT_MODEL.md §7).
+    The env var is read per call (not at import): it is a security-relevant
+    opt-out and must work regardless of import order."""
     global _ENC_TABLES_AUTO
-    if _ENC_TABLES_ENV is not None:
-        return _ENC_TABLES_ENV == "1"
+    env = __import__("os").environ.get("TPU_MPC_ENC_TABLES")
+    if env is not None:
+        return env == "1"
     if _ENC_TABLES_AUTO is None:
         import jax
 
@@ -648,9 +650,12 @@ def alice_prove(a_ints, cipher, ek: PaillierCtxBatch, stmt: DlogStatementBatch, 
     alpha = rng.below(Q3, shape)
     beta = beta_n_l = beta_t = None
     use_fold = ek.enc_tab_g is not None and r_t is not None
-    if ek.enc_tab_g is not None:
+    # beta's sampling must match r's: if the caller supplied uniform r
+    # (r_t is None), a table-sampled beta in <g> would make s = r^e beta
+    # reveal the coset of r^e (ADVICE r4) — fall back to uniform units
+    if use_fold:
         beta, beta_n_l, beta_t = ek.sample_unit_with_power(
-            shape, rng, sync=False, defer_value=use_fold, want_t=True
+            shape, rng, sync=False, defer_value=True, want_t=True
         )
     else:
         beta = rng.units_below(np.broadcast_to(ek.n, shape), shape)
@@ -783,6 +788,7 @@ def bob_prove(
     rng,
     check: bool = False,
     X_pts=None,  # affine (x, y) object arrays, required when check=True
+    r_is_table: bool = False,  # True iff r_ints was table-sampled (r = g^t)
 ) -> BobProofBatch:
     b_arr = np.asarray(b_ints, dtype=object)
     shape = np.broadcast_shapes(b_arr.shape, stmt.ctx.batch_shape, ek.n_ctx.batch_shape)
@@ -792,7 +798,9 @@ def bob_prove(
 
     alpha = rng.below(Q3, shape)
     beta = beta_n_l = None
-    if ek.enc_tab_g is not None:
+    # beta's sampling must match r's (see alice_prove): table-beta only
+    # when the caller's r was itself table-sampled
+    if ek.enc_tab_g is not None and r_is_table:
         beta, beta_n_l = ek.sample_unit_with_power(shape, rng, sync=False)
     else:
         beta = rng.units_below(n, shape)

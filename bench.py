@@ -134,6 +134,34 @@ def main():
     if _modctx.PROFILE:
         sys.stderr.write("== timed-run profile ==\n" + _modctx.profile_summary() + "\n")
 
+    # reference-exact-mode companion (VERDICT r4 #3): one timed pass with
+    # the two documented protocol deviations disabled — per-proof
+    # verification (range_proofs.rs:105-156) and uniform encryption
+    # randomizers (mta/mod.rs:68-75).  Reported alongside the headline so
+    # the apples-to-apples cost of the deviations is always quantified.
+    # BENCH_REF_EXACT=0 skips it (e.g. quick local iterations).
+    ref_exact = None
+    if int(os.environ.get("BENCH_REF_EXACT", "1")) and \
+            "TPU_MPC_BATCH_VERIFY" not in os.environ:
+        os.environ["TPU_MPC_BATCH_VERIFY"] = "0"
+        os.environ["TPU_MPC_ENC_TABLES"] = "0"
+        try:
+            t3 = time.time()  # warm-up (compiles the full-width kernels)
+            off = gg20.offline_stage(key, [0, 1], rng)
+            sig = gg20.sign_online(off, m)
+            assert sig.sig_valid.all(), "ref-exact warm-up signatures invalid"
+            sys.stderr.write(f"ref-exact warm-up {time.time()-t3:.1f}s\n")
+            t3 = time.time()
+            off = gg20.offline_stage(key, [0, 1], rng)
+            sig = gg20.sign_online(off, m)
+            ref_dt = time.time() - t3
+            assert sig.sig_valid.all(), "ref-exact signatures invalid"
+            ref_exact = S / ref_dt
+            sys.stderr.write(f"ref-exact pass {ref_dt:.1f}s = {ref_exact:.1f} sig/s\n")
+        finally:
+            del os.environ["TPU_MPC_BATCH_VERIFY"]
+            del os.environ["TPU_MPC_ENC_TABLES"]
+
     dt = min(dts)
     sys.stderr.write(f"timed passes: {[round(d, 1) for d in dts]}s\n")
     sig_per_sec = S / dt
@@ -144,6 +172,8 @@ def main():
         "vs_baseline": round(sig_per_sec / BASELINE_SIG_PER_SEC_EST, 3),
         "timed_passes": [round(S / d, 2) for d in dts],
     }
+    if ref_exact is not None:
+        out["reference_exact_mode_sig_per_sec"] = round(ref_exact, 3)
     # measured baselines, when present:
     #  * cpu_baseline_result.json — the GMP (reference-substrate) GG20 flow
     #    measured on THIS host (benches/cpu_baseline.py); vs_baseline then
@@ -162,6 +192,23 @@ def main():
             out["vs_baseline"] = round(sig_per_sec / meas, 3)
     if _KEYGEN_WALL_S:
         out["keygen_3party_sessions_per_sec"] = round(1.0 / _KEYGEN_WALL_S, 5)
+    # measured side artifacts from in-round runs, when present:
+    #  * batched keygen (BENCH_MODE=keygen BENCH_SESSIONS=16) amortization
+    #  * multi-tenant serving (benches/group_bench.py, G=8 key groups)
+    bdir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "benches")
+    kg16 = os.path.join(bdir, "bench_keys_S16_2048.json")
+    if os.path.exists(kg16):
+        with open(kg16) as f:
+            d = json.load(f)
+        if d.get("keygen_wall_s"):
+            out["keygen_batched_s16_sessions_per_sec"] = round(
+                d.get("S", 16) / d["keygen_wall_s"], 5)
+    grp = os.path.join(bdir, "group_bench_result.json")
+    if os.path.exists(grp):
+        with open(grp) as f:
+            d = json.load(f)
+        if d.get("sig_per_sec"):
+            out[f"group_serving_g{d.get('g', 8)}_sig_per_sec"] = d["sig_per_sec"]
     print(json.dumps(out))
 
 
@@ -184,6 +231,14 @@ def keygen_bench():
     dt = time.time() - t0
     assert res.ok.all(), "keygen failed"
     _sys.stderr.write(f"keygen S={S} n=3 {bits}b: {dt:.1f}s\n")
+    # persist the whole batch: distinct key sets feed the multi-tenant
+    # (G>1) serving bench, and the measured rate rides into the headline
+    # bench output (keygen_batched_sessions_per_sec)
+    out_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        f"benches/bench_keys_S{S}_{bits}.json",
+    )
+    _save_key(out_path, res.key, keygen_wall_s=dt, seed=0xFACE)
     print(
         json.dumps(
             {
@@ -191,13 +246,14 @@ def keygen_bench():
                 "value": round(S / dt, 4),
                 "unit": "sessions/sec/chip",
                 "vs_baseline": None,
+                "sessions": S,
             }
         )
     )
 
 
-def _save_key(path, key1, keygen_wall_s=None):
-    """Persist an S=1 LocalKeyBatch20 as plain ints (see cache note in main)."""
+def _save_key(path, key1, keygen_wall_s=None, seed=None):
+    """Persist a LocalKeyBatch20 (any S) as plain ints (cache note in main)."""
     import json
 
     import numpy as np
@@ -209,8 +265,9 @@ def _save_key(path, key1, keygen_wall_s=None):
     ).tolist()
     obj = {
         "WARNING": "bench-only key, derived from the public seed below — NOT secret",
-        "seed": BENCH_SEED,
+        "seed": BENCH_SEED if seed is None else seed,
         "keygen_wall_s": keygen_wall_s,
+        "S": key1.S,
         "t": key1.t, "n": key1.n, "bits": key1.paillier_bits,
         "p": E(key1.p), "q": E(key1.q),
         "nt": E(key1.dlog_stmt.ctx.n_ints),

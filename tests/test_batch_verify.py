@@ -141,6 +141,62 @@ def test_pdl_batched_equation_tamper_blames_session(setup):
     assert not got[2] and got[np.arange(S) != 2].all()
 
 
+@pytest.fixture(scope="module")
+def grouped_setup():
+    """G=2 distinct key groups interleaved across S sessions (the
+    multi-tenant serving layout: session s uses group s % G)."""
+    rng = SessionRng(0x68F0)
+    G = 2
+    p, q = gen_paillier_batch(G, 1, BITS, rng)
+    ekG = PaillierCtxBatch.from_ints((p * q)[:, 0], BITS)
+    nt_ctx, h1, h2, _, _, _ = generate_h1_h2_n_tilde_batch(G, 1, BITS, rng)
+    stmtG = DlogStatementBatch.from_ints(
+        nt_ctx.n_ints[:, 0], h1[:, 0], h2[:, 0], BITS
+    )
+    ek = ekG.repeat_interleaved(S // G)
+    stmt = stmtG.repeat_interleaved(S // G)
+    assert ek.n_groups == G and stmt.n_groups == G
+    return ek, stmt, rng
+
+
+def test_alice_grouped_batched_no_fallback(grouped_setup, monkeypatch):
+    ek, stmt, rng = grouped_setup
+    a = rng.below(Q, (S,))
+    r = rng.units_below(ek.n, (S,))
+    c = mta.paillier_encrypt_ints(ek, a, r)
+    proof = alice_prove(a, c, ek, stmt, r, rng)
+    # per-group reductions must collapse the checks with NO per-session
+    # replay even though the sessions axis holds 2 distinct key sets
+    _no_fallback(monkeypatch, "alice_verify")
+    assert bv.alice_verify_fast(proof, c, ek, stmt).all()
+
+
+def test_alice_grouped_tamper_blames_session(grouped_setup):
+    ek, stmt, rng = grouped_setup
+    a = rng.below(Q, (S,))
+    r = rng.units_below(ek.n, (S,))
+    c = mta.paillier_encrypt_ints(ek, a, r)
+    proof = alice_prove(a, c, ek, stmt, r, rng)
+    s_bad = np.asarray(proof.s, dtype=object).copy()
+    s_bad[3] = int(s_bad[3]) * 2 % int(np.broadcast_to(ek.n, (S,))[3])
+    bad = dataclasses.replace(proof, s=s_bad)
+    got = bv.alice_verify_fast(bad, c, ek, stmt)
+    assert not got[3] and got[np.arange(S) != 3].all()
+
+
+def test_pdl_grouped_batched_no_fallback(grouped_setup, monkeypatch):
+    ek, stmt, rng = grouped_setup
+    x = rng.below(Q, (S,))
+    r = rng.units_below(ek.n, (S,))
+    c = mta.paillier_encrypt_ints(ek, x, r)
+    Gpt = dec.generator((S,))
+    Q_pt = dec.mul_generator(dec.sc_from_ints(np.mod(x, Q)))
+    st = PDLwSlackStatementBatch(ciphertext=c, ek=ek, Q_pt=Q_pt, G_pt=Gpt, dlog=stmt)
+    proof = pdl_slack_prove(x, r, st, rng)
+    _no_fallback(monkeypatch, "pdl_slack_verify")
+    assert bv.pdl_slack_verify_fast(proof, st).all()
+
+
 def test_gammas_are_fresh_and_wide():
     g1 = bv.sample_gammas((4, 3))
     g2 = bv.sample_gammas((4, 3))

@@ -54,6 +54,30 @@ def test_pallas_reduce_axis0(setup):
     assert int(got[0, 0]) == want
 
 
+def test_pallas_reduce_axis0_trailing_moduli(setup):
+    """Moduli constant along axis 0 but DIFFERENT along a trailing dim (the
+    packed per-alice MtA verify shape): the reduced output keeps one modulus
+    per trailing slot.  Regression: _finish_reduce used to collapse the ctx
+    to flat element [0], silently failing every batched-verify equation on
+    the pallas path."""
+    r, rand, ns, _ = setup
+    ctx2 = RnsCtx.from_ints(ns[None, :2], NBITS)  # [1, 2] trailing moduli
+    S = 4
+    b = np.asarray(
+        [[rand(NBITS - 2) for _ in range(2)] for _ in range(S)], dtype=object
+    )
+    e = np.asarray([[rand(8) | 1 for _ in range(2)] for _ in range(S)],
+                   dtype=object)
+    got = rns.rns_exp_dispatch(
+        ctx2, ns[None, :2], b, e, 8, reduce_axis0=True
+    ).ints()
+    for j in range(2):
+        want = 1
+        for s in range(S):
+            want = want * pow(int(b[s, j]), int(e[s, j]), int(ns[j])) % int(ns[j])
+        assert int(got[0, j]) == want
+
+
 def test_pallas_fixed_prod(setup):
     r, rand, ns, ctx = setup
     n0 = int(ns[0])
@@ -64,5 +88,30 @@ def test_pallas_fixed_prod(setup):
     got = rns.rns_fixed_prod_dispatch(ctx1, ns[:1], tabs, [e], [8], NBITS).ints()
     want = np.asarray(
         [pow(int(g[0, 0]), int(ee), n0) for ee in e], dtype=object
+    )
+    assert (got == want).all()
+
+
+def test_pallas_fixed_prod_gmap(setup):
+    """Group-compressed tables: G=2 distinct (modulus, base) groups serve
+    S=4 interleaved sessions through an explicit gmap row map."""
+    r, rand, ns, _ = setup
+    G, S = 2, 4
+    nsG = ns[:G]
+    ctxG = RnsCtx.from_ints(nsG, NBITS)
+    bases = np.asarray(
+        [[rand(NBITS) % int(n) for n in nsG]], dtype=object
+    )  # [1 base, G]
+    tabs = rns.rns_make_tables(ctxG, nsG, bases, 8, NBITS)
+    gmap = np.tile(np.arange(G), S // G)            # session s -> s % G
+    n_s = np.asarray([int(nsG[i]) for i in gmap], dtype=object)
+    ctx_s = RnsCtx.from_ints(n_s, NBITS)
+    e = np.asarray([rand(8) | 1 for _ in range(S)], dtype=object)
+    got = rns.rns_fixed_prod_dispatch(
+        ctx_s, n_s, tabs, [e], [8], NBITS, gmap=gmap
+    ).ints()
+    want = np.asarray(
+        [pow(int(bases[0, gmap[s]]), int(e[s]), int(n_s[s])) for s in range(S)],
+        dtype=object,
     )
     assert (got == want).all()

@@ -737,7 +737,11 @@ def _finish_reduce(oP, oQ, ctx_flat_arrs, nbits: int, lead: int, S: int):
     tA = oP[: pp.K, :lead].T.reshape(S, rest, pp.K)
     tr = oP[pp.PR, :lead].reshape(S, rest)
     tB = oQ[: pp.Kp, :lead].T.reshape(S, rest, pp.Kp)
-    arrs = [a[:1] for a in ctx_flat_arrs]
+    # the reduced output [1, rest] keeps ONE modulus per trailing slot:
+    # moduli are constant along axis 0 (the caller's precondition) but may
+    # vary along the trailing dims (e.g. per-alice N in the packed MtA
+    # verify), so keep the full first S-row [rest, K], not element [0]
+    arrs = [a[: min(rest, a.shape[0])] for a in ctx_flat_arrs]
     (negNinvA, N_B, N_r, monA, monB, mon_r, r2A, r2B, r2_r) = arrs
     ctx = rns.RnsCtx(nbits, negNinvA, N_B, N_r, monA, monB, mon_r,
                      r2A, r2B, r2_r)
@@ -901,13 +905,16 @@ def _prep_tables(tables, ebits_list, nbits: int):
     return out
 
 
-def fixed_prod_dispatch(ctx, n_ints, tables, exps, ebits_list, nbits: int):
+def fixed_prod_dispatch(ctx, n_ints, tables, exps, ebits_list, nbits: int,
+                        gmap=None):
     """Pallas counterpart of rns.rns_fixed_prod_dispatch.
 
     Precondition (checked by the caller's routing): every base's table has
     the same flattened key-group count G, and the table batch dims
-    broadcast against the call batch.  The per-lane group offset g*16 rides
-    as a kernel input; window digits come from packed e-words."""
+    broadcast against the call batch — OR an explicit `gmap` maps each call
+    element to its flattened group row (compressed multi-tenant tables).
+    The per-lane group offset g*16 rides as a kernel input; window digits
+    come from packed e-words."""
     from . import rns
     from .limbs import batch_to_limbs, nlimbs
 
@@ -922,11 +929,14 @@ def fixed_prod_dispatch(ctx, n_ints, tables, exps, ebits_list, nbits: int):
     bdims = tables[0][0].shape[2:-1]
     G = int(np.prod(bdims, dtype=np.int64))
     gofs = np.zeros((1, Bp), np.uint32)
-    if G > 1:
-        gmap = np.broadcast_to(
+    if gmap is not None:
+        gm = np.broadcast_to(np.asarray(gmap, dtype=np.uint32), shape)
+        gofs[0, :lead] = gm.reshape(lead) * _NENT
+    elif G > 1:
+        gm = np.broadcast_to(
             np.arange(G, dtype=np.uint32).reshape(bdims), shape
         ).reshape(lead)
-        gofs[0, :lead] = gmap * _NENT
+        gofs[0, :lead] = gm * _NENT
 
     ews = []
     for e, eb in zip(exps, ebits_list):

@@ -619,14 +619,21 @@ def rns_make_tables(ctx: RnsCtx, n_ints, bases, max_ebits: int, nbits: int):
     ]
 
 
-def rns_fixed_prod_dispatch(ctx: RnsCtx, n_ints, tables, exps, ebits_list, nbits: int):
+def rns_fixed_prod_dispatch(ctx: RnsCtx, n_ints, tables, exps, ebits_list,
+                            nbits: int, gmap=None):
     """Launch the squaring-free fixed-base product; returns RnsLazy.
 
     Pallas path (TPU): the kernel streams each base's table as [nw, G*16]
     entry rows (G = flattened key-group count), so it serves both the G=1
     shared-key pattern and multi-tenant G>1 batches; all bases in one call
     must share G (true for h1/h2 pairs and the enc-base pair), and G is
-    capped to keep the per-window VMEM block small."""
+    capped to keep the per-window VMEM block small.
+
+    gmap: optional per-element flattened-group row map broadcastable
+    (right-aligned) to the call batch shape, for table batches that are
+    COMPRESSED relative to the session batch (G groups serving S > G
+    sessions).  Requires the Pallas path — the caller must fall back to a
+    non-table product when pallas is unavailable."""
     from . import pallas_rns
 
     if pallas_rns.pallas_enabled():
@@ -635,8 +642,13 @@ def rns_fixed_prod_dispatch(ctx: RnsCtx, n_ints, tables, exps, ebits_list, nbits
         }
         if len(gs) == 1 and gs.pop() * 16 <= 512:
             return pallas_rns.fixed_prod_dispatch(
-                ctx, n_ints, tables, exps, ebits_list, nbits
+                ctx, n_ints, tables, exps, ebits_list, nbits, gmap=gmap
             )
+    if gmap is not None:
+        raise RuntimeError(
+            "compressed table groups (gmap) require the Pallas fixed-base "
+            "path; callers must fall back before dispatch"
+        )
     exps = [np.asarray(e, dtype=object) for e in exps]
     n_arr = np.asarray(n_ints, dtype=object)
     shape = np.broadcast_shapes(n_arr.shape, *(e.shape for e in exps))

@@ -92,6 +92,29 @@ def _shared_axis0(shape, *arrays) -> bool:
     return True
 
 
+def _grouping(shape, n_groups: int, *arrays):
+    """-> G such that the sessions axis splits into S/G x G blocks with
+    moduli/bases constant within each of the G columns (G=1: fully shared;
+    the interleaved multi-tenant layout has group(s) = s % G), or None.
+    n_groups is the layout hint carried by the key batch (repeat_interleaved)
+    — the sharing is still VERIFIED, never assumed."""
+    S = shape[0] if len(shape) >= 1 else 0
+    if S < 2:
+        return None
+    if _shared_axis0(shape, *arrays):
+        return 1
+    G = int(n_groups)
+    if G > 1 and S % G == 0 and S // G >= 2:
+        gshape = (S // G, G) + tuple(shape[1:])
+        resh = [
+            np.broadcast_to(np.asarray(a, dtype=object), shape).reshape(gshape)
+            for a in arrays
+        ]
+        if _shared_axis0(gshape, *resh):
+            return G
+    return None
+
+
 def sample_gammas(shape) -> np.ndarray:
     """Verifier-side batching exponents: fresh unpredictable 128-bit ints
     (os.urandom), sampled AFTER the proofs are fixed.  Not Fiat-Shamir —
@@ -125,50 +148,64 @@ def alice_verify_fast(
         np.shape(proof.z), stmt.ctx.batch_shape, ek.n_ctx.batch_shape, np.shape(cipher)
     )
     S = shape[0] if len(shape) >= 1 else 0
-    if not _enabled(S) or not _shared_axis0(
-        shape, stmt.ctx.n_ints, stmt.h1, stmt.h2, ek.n
-    ):
+    G = _grouping(
+        shape, max(stmt.n_groups, ek.n_groups),
+        stmt.ctx.n_ints, stmt.h1, stmt.h2, ek.n,
+    ) if _enabled(S) else None
+    if G is None:
         return alice_verify(proof, cipher, ek, stmt)
 
-    nn = np.broadcast_to(ek.nn, shape)
+    # sessions axis viewed as (R, G): reductions run over R, keeping one
+    # product per key group (G=1 == the fully-shared serving pattern)
+    R = S // G
+    resh = lambda a: np.broadcast_to(
+        np.asarray(a, dtype=object), shape
+    ).reshape((R, G) + shape[1:])
     tb = stmt.ctx.bits
     cheap_ok, (e, s1, s2) = _alice_host_checks(proof, cipher, ek, stmt, shape)
 
     # sessions already failed by the host checks are excluded (g_s = 0, so
     # x^0 = 1 drops out of every product) — they are blamed by cheap_ok and
     # must not force the equation fallback
-    g = sample_gammas(shape) * cheap_ok
+    g = resh(sample_gammas(shape) * cheap_ok)
 
-    # gamma-weighted products, reduced over the sessions axis ON DEVICE
+    # gamma-weighted products, reduced over the R axis ON DEVICE
     # (ModCtx.pow_prod_axis0): prod (w z^e)^g = (prod w^g)(prod z^(ge)) etc.
-    # — only [1, ...] slots cross to the host, so the per-launch decode of
-    # S values (the dominant host cost of the first batched-verify cut)
+    # — only [1, G, ...] slots cross to the host, so the per-launch decode
+    # of S values (the dominant host cost of the first batched-verify cut)
     # disappears; all dispatches async
-    ge = g * np.asarray(e, dtype=object)
-    wg_l = stmt.ctx.pow_prod_axis0(proof.w, g, GAMMA_BITS, sync=False)
-    zge_l = stmt.ctx.pow_prod_axis0(proof.z, ge, GAMMA_BITS + E_BITS, sync=False)
-    ug_l = ek.nn_ctx.pow_prod_axis0(proof.u, g, GAMMA_BITS, sync=False)
-    cge_l = ek.nn_ctx.pow_prod_axis0(cipher, ge, GAMMA_BITS + E_BITS, sync=False)
-    sg_l = ek.nn_ctx.pow_prod_axis0(proof.s, g, GAMMA_BITS, sync=False)
+    nt_ctx = stmt.ctx.reshape_lead(R, G)
+    nn_ctx = ek.nn_ctx.reshape_lead(R, G)
+    ge = g * resh(e)
+    wg_l = nt_ctx.pow_prod_axis0(resh(proof.w), g, GAMMA_BITS, sync=False)
+    zge_l = nt_ctx.pow_prod_axis0(resh(proof.z), ge, GAMMA_BITS + E_BITS, sync=False)
+    ug_l = nn_ctx.pow_prod_axis0(resh(proof.u), g, GAMMA_BITS, sync=False)
+    cge_l = nn_ctx.pow_prod_axis0(resh(cipher), ge, GAMMA_BITS + E_BITS, sync=False)
+    sg_l = nn_ctx.pow_prod_axis0(resh(proof.s), g, GAMMA_BITS, sync=False)
 
-    # collapsed RHSs at one session's moduli/bases
-    ek0 = ek.take(np.arange(1), 0)
-    stmt0 = stmt.take(np.arange(1), 0)
-    eb_sum = GAMMA_BITS + _log2ceil(S)
-    E1 = _sum_axis0(g, s1)                       # < 2^(776 + eb_sum)
-    E2 = _sum_axis0(g, s2)                       # < 2^(768 + tb + 16 + eb_sum)
+    # collapsed RHSs at one representative session per group (sessions
+    # 0..G-1 in the interleaved layout); the leading reduced axis is
+    # dropped so G=1 keeps the legacy (1,)+rest call shapes
+    red = lambda l: np.asarray(resolve(l), dtype=object)[0]
+    ek0 = ek.take(np.arange(G), 0)
+    stmt0 = stmt.take(np.arange(G), 0)
+    eb_sum = GAMMA_BITS + _log2ceil(R)
+    E1 = _sum_axis0(g, resh(s1))[0]              # < 2^(776 + eb_sum)
+    E2 = _sum_axis0(g, resh(s2))[0]              # < 2^(768 + tb + 16 + eb_sum)
     rhs_w0_l = stmt0.pow_h1h2(
         E1, E2, hints=(776 + eb_sum, 768 + tb + 16 + eb_sum), sync=False
     )
-    P_s = np.asarray(resolve(sg_l), dtype=object)
+    P_s = red(sg_l)
     rhs_u0_l = ek0.nn_ctx.pow(P_s, ek0.n, ebits_hint=ek.n_ctx.bits, sync=False)
 
-    nt0 = np.broadcast_to(stmt.ctx.n_ints, shape)[:1]
-    P_w = host_mulmod(resolve(wg_l), resolve(zge_l), nt0)
-    P_u = host_mulmod(resolve(ug_l), resolve(cge_l), nn[:1])
-    n0 = np.broadcast_to(ek0.n, (1,) + shape[1:])
+    gshape1 = (G,) + shape[1:]
+    ntg = resh(stmt.ctx.n_ints)[0]
+    nng = resh(ek.nn)[0]
+    P_w = host_mulmod(red(wg_l), red(zge_l), ntg)
+    P_u = host_mulmod(red(ug_l), red(cge_l), nng)
+    n0 = np.broadcast_to(ek0.n, gshape1)
     lin = host_mulmod(E1, np.ones_like(n0), n0) * n0 + 1  # 1 + N (sum g s1) mod N^2
-    rhs_u0 = host_mulmod(resolve(rhs_u0_l), lin, np.broadcast_to(ek0.nn, (1,) + shape[1:]))
+    rhs_u0 = host_mulmod(resolve(rhs_u0_l), lin, np.broadcast_to(ek0.nn, gshape1))
 
     eq_ok = np.array_equal(P_w, np.asarray(resolve(rhs_w0_l), dtype=object)) and \
         np.array_equal(P_u, np.asarray(rhs_u0, dtype=object))
@@ -189,47 +226,55 @@ def pdl_slack_verify_fast(
         np.shape(proof.z), stmt.dlog.ctx.batch_shape, stmt.ek.n_ctx.batch_shape
     )
     S = shape[0] if len(shape) >= 1 else 0
-    if not _enabled(S) or not _shared_axis0(
-        shape, stmt.dlog.ctx.n_ints, stmt.dlog.h1, stmt.dlog.h2, stmt.ek.n
-    ):
+    G = _grouping(
+        shape, max(stmt.dlog.n_groups, stmt.ek.n_groups),
+        stmt.dlog.ctx.n_ints, stmt.dlog.h1, stmt.dlog.h2, stmt.ek.n,
+    ) if _enabled(S) else None
+    if G is None:
         return pdl_slack_verify(proof, stmt)
 
-    nn = np.broadcast_to(stmt.ek.nn, shape)
+    R = S // G
+    resh = lambda a: np.broadcast_to(
+        np.asarray(a, dtype=object), shape
+    ).reshape((R, G) + shape[1:])
     tb = stmt.dlog.ctx.bits
     e, s1, s3, cheap_ok = _pdl_host_ec_checks(proof, stmt, shape)
-    g = sample_gammas(shape) * cheap_ok
+    g = resh(sample_gammas(shape) * cheap_ok)
 
-    ge = g * np.asarray(e, dtype=object)
-    u2g_l = stmt.ek.nn_ctx.pow_prod_axis0(proof.u2, g, GAMMA_BITS, sync=False)
-    cge_l = stmt.ek.nn_ctx.pow_prod_axis0(
-        stmt.ciphertext, ge, GAMMA_BITS + E_BITS, sync=False
+    nt_ctx = stmt.dlog.ctx.reshape_lead(R, G)
+    nn_ctx = stmt.ek.nn_ctx.reshape_lead(R, G)
+    ge = g * resh(e)
+    u2g_l = nn_ctx.pow_prod_axis0(resh(proof.u2), g, GAMMA_BITS, sync=False)
+    cge_l = nn_ctx.pow_prod_axis0(
+        resh(stmt.ciphertext), ge, GAMMA_BITS + E_BITS, sync=False
     )
-    u3g_l = stmt.dlog.ctx.pow_prod_axis0(proof.u3, g, GAMMA_BITS, sync=False)
-    zge_l = stmt.dlog.ctx.pow_prod_axis0(
-        proof.z, ge, GAMMA_BITS + E_BITS, sync=False
+    u3g_l = nt_ctx.pow_prod_axis0(resh(proof.u3), g, GAMMA_BITS, sync=False)
+    zge_l = nt_ctx.pow_prod_axis0(
+        resh(proof.z), ge, GAMMA_BITS + E_BITS, sync=False
     )
-    s2g_l = stmt.ek.nn_ctx.pow_prod_axis0(proof.s2, g, GAMMA_BITS, sync=False)
+    s2g_l = nn_ctx.pow_prod_axis0(resh(proof.s2), g, GAMMA_BITS, sync=False)
 
-    ek0 = stmt.ek.take(np.arange(1), 0)
-    dlog0 = stmt.dlog.take(np.arange(1), 0)
-    eb_sum = GAMMA_BITS + _log2ceil(S)
-    E1 = _sum_axis0(g, s1)
-    E3 = _sum_axis0(g, s3)
+    red = lambda l: np.asarray(resolve(l), dtype=object)[0]
+    ek0 = stmt.ek.take(np.arange(G), 0)
+    dlog0 = stmt.dlog.take(np.arange(G), 0)
+    eb_sum = GAMMA_BITS + _log2ceil(R)
+    E1 = _sum_axis0(g, resh(s1))[0]
+    E3 = _sum_axis0(g, resh(s3))[0]
     rhs_u30_l = dlog0.pow_h1h2(
         E1, E3, hints=(776 + eb_sum, 768 + tb + 16 + eb_sum), sync=False
     )
-    P_s2 = np.asarray(resolve(s2g_l), dtype=object)
+    P_s2 = red(s2g_l)
     rhs_u20_l = ek0.nn_ctx.pow(P_s2, ek0.n, ebits_hint=stmt.ek.n_ctx.bits, sync=False)
 
-    P_u2 = host_mulmod(resolve(u2g_l), resolve(cge_l), nn[:1])
+    gshape1 = (G,) + shape[1:]
+    P_u2 = host_mulmod(red(u2g_l), red(cge_l), resh(stmt.ek.nn)[0])
     P_u3 = host_mulmod(
-        resolve(u3g_l), resolve(zge_l),
-        np.broadcast_to(stmt.dlog.ctx.n_ints, shape)[:1],
+        red(u3g_l), red(zge_l), resh(stmt.dlog.ctx.n_ints)[0]
     )
-    n0 = np.broadcast_to(ek0.n, (1,) + shape[1:])
+    n0 = np.broadcast_to(ek0.n, gshape1)
     lin = host_mulmod(E1, np.ones_like(n0), n0) * n0 + 1
     rhs_u20 = host_mulmod(
-        resolve(rhs_u20_l), lin, np.broadcast_to(ek0.nn, (1,) + shape[1:])
+        resolve(rhs_u20_l), lin, np.broadcast_to(ek0.nn, gshape1)
     )
 
     eq_ok = np.array_equal(P_u3, np.asarray(resolve(rhs_u30_l), dtype=object)) and \

@@ -37,6 +37,30 @@ Q = hec.N
 Q3 = Q**3
 
 
+def _table_group_rows(gmap, bdims, batch_shape, shape):
+    """Flattened table-group row per call element, for group-compressed
+    fixed-base tables (G groups serving S sessions).
+
+    gmap: [S] session -> group index.  bdims: the table batch dims
+    (G,) + rest, where rest right-aligns with batch_shape[1:] (party
+    slots etc.).  shape: the call batch shape, possibly with extra leading
+    stacked axes.  Row-major flattened row = g * prod(rest) + sub(rest)."""
+    S = int(batch_shape[0])
+    extra = len(shape) - len(batch_shape)
+    gm = np.asarray(gmap, dtype=np.int64).reshape(
+        (1,) * extra + (S,) + (1,) * (len(batch_shape) - 1)
+    )
+    rest = tuple(int(d) for d in bdims[1:])
+    pr = int(np.prod(rest, dtype=np.int64)) if rest else 1
+    rows = gm * pr
+    if pr > 1:
+        sub = np.arange(pr, dtype=np.int64).reshape(
+            (1,) * (len(shape) - len(rest)) + rest
+        )
+        rows = rows + sub
+    return np.broadcast_to(rows, shape)
+
+
 @dataclasses.dataclass
 class DlogStatementBatch:
     """(N_tilde, h1, h2) batch — the ring-Pedersen setup of each party.
@@ -53,6 +77,12 @@ class DlogStatementBatch:
     h2: np.ndarray
     tables: tuple | None = None   # (T1, T2), batch dims at positions 2..-2
     tables_rns: tuple | None = None  # ((tA,tB,tr) x2) RNS-form tables
+    # multi-tenant serving (G distinct key groups tiled across S sessions):
+    # tables stay compressed at G session-rows; gmap [S] maps session ->
+    # group (s % G for the interleaved layout) and n_groups records G for
+    # the grouped cross-session batch verification (zk/batch_verify.py)
+    gmap: np.ndarray | None = None
+    n_groups: int = 1
 
     @classmethod
     def from_ints(cls, n_tildes, h1s, h2s, bits: int = 2048):
@@ -113,15 +143,39 @@ class DlogStatementBatch:
         clamped field width, never measured from values (ADVICE r1).
         sync=False: async dispatch, returns a lazy handle (core.modctx)."""
         if self.tables_rns is not None:
-            return self.ctx.pow_fixed_prod_rns(self.tables_rns, [e1, e2], hints, sync=sync)
-        if self.tables is not None:
+            gmap = None
+            if self.gmap is not None:
+                from ..core.pallas_rns import pallas_enabled
+
+                if not pallas_enabled():
+                    # compressed-group tables need the Pallas row-offset
+                    # path; fall back to the plain product off-accelerator
+                    return self.ctx.pow_prod(
+                        [self.h1, self.h2], [e1, e2], ebits_hints=hints,
+                        sync=sync,
+                    )
+                shape = np.broadcast_shapes(
+                    np.shape(e1), np.shape(e2), self.ctx.batch_shape
+                )
+                gmap = _table_group_rows(
+                    self.gmap, self.tables_rns[0][0].shape[2:-1],
+                    self.ctx.batch_shape, shape,
+                )
+            return self.ctx.pow_fixed_prod_rns(
+                self.tables_rns, [e1, e2], hints, sync=sync, gmap=gmap
+            )
+        if self.tables is not None and self.gmap is None:
             return self.ctx.pow_fixed_prod(self.tables, [e1, e2], hints, sync=sync)
         return self.ctx.pow_prod([self.h1, self.h2], [e1, e2], ebits_hints=hints, sync=sync)
 
     def take(self, indices, axis: int) -> "DlogStatementBatch":
         import jax.numpy as jnp
 
-        tk = lambda T: jnp.take(T, jnp.asarray(indices), axis=2 + axis)
+        # group-compressed tables index G groups (not S sessions) on their
+        # sessions axis: a sessions-axis take slices gmap, never the tables
+        take_tabs = axis > 0 or self.gmap is None
+        tk = lambda T: jnp.take(T, jnp.asarray(indices), axis=2 + axis) \
+            if take_tabs else T
         return DlogStatementBatch(
             ctx=self.ctx.take(indices, axis),
             h1=np.take(self.h1, indices, axis=axis),
@@ -130,6 +184,9 @@ class DlogStatementBatch:
             tables_rns=None if self.tables_rns is None else tuple(
                 tuple(tk(c) for c in T) for T in self.tables_rns
             ),
+            gmap=np.take(self.gmap, indices, axis=0) if axis == 0 and
+            self.gmap is not None else self.gmap,
+            n_groups=self.n_groups,
         )
 
     def expand(self, axis: int) -> "DlogStatementBatch":
@@ -144,6 +201,8 @@ class DlogStatementBatch:
             tables_rns=None if self.tables_rns is None else tuple(
                 tuple(ex(c) for c in T) for T in self.tables_rns
             ),
+            gmap=self.gmap,
+            n_groups=self.n_groups,
         )
 
     def swapped(self) -> "DlogStatementBatch":
@@ -153,6 +212,24 @@ class DlogStatementBatch:
             tables=None if self.tables is None else (self.tables[1], self.tables[0]),
             tables_rns=None if self.tables_rns is None
             else (self.tables_rns[1], self.tables_rns[0]),
+            gmap=self.gmap,
+            n_groups=self.n_groups,
+        )
+
+    def repeat_interleaved(self, R: int) -> "DlogStatementBatch":
+        """G-group batch -> S = G*R sessions, interleaved (session s uses
+        group s % G).  Tables stay compressed at G rows; per-session calls
+        route through gmap (multi-tenant serving, Pallas path)."""
+        G = int(self.ctx.batch_shape[0])
+        rep = lambda a: np.tile(a, (R,) + (1,) * (a.ndim - 1))
+        return DlogStatementBatch(
+            ctx=self.ctx.repeat_lead(R),
+            h1=rep(self.h1),
+            h2=rep(self.h2),
+            tables=self.tables,
+            tables_rns=self.tables_rns,
+            gmap=np.tile(np.arange(G, dtype=np.int64), R),
+            n_groups=G,
         )
 
     def tile(self, S: int) -> "DlogStatementBatch":
@@ -302,6 +379,10 @@ class PaillierCtxBatch:
     enc_tab_g: object = None               # fixed-base tables of g mod N
     enc_tab_h: object = None               # fixed-base tables of h mod N^2
     enc_tab_rns: bool = False
+    # multi-tenant serving: tables compressed at G session-rows, gmap [S]
+    # session -> group, n_groups = G (see DlogStatementBatch)
+    gmap: np.ndarray | None = None
+    n_groups: int = 1
 
     _ENC_EBITS = 64                        # t < N * 2^_ENC_EBITS
 
@@ -354,11 +435,24 @@ class PaillierCtxBatch:
         from ..core.modctx import DeferredLaunch, resolve as _res
 
         n_b = np.broadcast_to(self.n, shape)
-        if self.enc_tab_g is not None:
+        usable_tabs = self.enc_tab_g is not None
+        if usable_tabs and self.gmap is not None:
+            from ..core.pallas_rns import pallas_enabled
+
+            # compressed-group tables need the Pallas row-offset path;
+            # off-accelerator the sampling falls through to uniform units
+            usable_tabs = pallas_enabled() and self.enc_tab_rns
+        if usable_tabs:
             import jax.numpy as jnp
 
             t = rng.below(n_b << self._ENC_EBITS, shape)
             eb = (self.n_ctx.bits + self._ENC_EBITS,)
+            gmap = None
+            if self.gmap is not None:
+                gmap = _table_group_rows(
+                    self.gmap, self.enc_tab_g[0].shape[2:-1],
+                    self.n_ctx.batch_shape, shape,
+                )
             # extra leading batch dims (e.g. a stacked gamma/w path axis)
             # need matching broadcast axes in the table batch (at 2..)
             extra = max(0, len(shape) - len(self.n_ctx.batch_shape))
@@ -372,9 +466,11 @@ class PaillierCtxBatch:
             tab_g, tab_h = ex(self.enc_tab_g), ex(self.enc_tab_h)
             if self.enc_tab_rns:
                 u_fn = lambda: self.n_ctx.pow_fixed_prod_rns(
-                    (tab_g,), [t], eb, sync=False
+                    (tab_g,), [t], eb, sync=False, gmap=gmap
                 )
-                un_l = self.nn_ctx.pow_fixed_prod_rns((tab_h,), [t], eb, sync=sync)
+                un_l = self.nn_ctx.pow_fixed_prod_rns(
+                    (tab_h,), [t], eb, sync=sync, gmap=gmap
+                )
             else:
                 u_fn = lambda: self.n_ctx.pow_fixed_prod(
                     (tab_g,), [t], eb, sync=False
@@ -404,9 +500,16 @@ class PaillierCtxBatch:
             return c
 
         T = self.enc_tab_g
+        gmap = None
+        if self.gmap is not None:
+            gmap = _table_group_rows(
+                self.gmap, T[0].shape[2:-1], self.n_ctx.batch_shape, shape
+            )
         T = tuple(grow(c) for c in T) if isinstance(T, tuple) else grow(T)
         if self.enc_tab_rns:
-            return self.n_ctx.pow_fixed_prod_rns((T,), [exps], (ebits_hint,), sync=sync)
+            return self.n_ctx.pow_fixed_prod_rns(
+                (T,), [exps], (ebits_hint,), sync=sync, gmap=gmap
+            )
         return self.n_ctx.pow_fixed_prod((T,), [exps], (ebits_hint,), sync=sync)
 
     def decrypt_sk(self, c_ints, sync: bool = True):
@@ -512,16 +615,25 @@ class PaillierCtxBatch:
             enc_tab_g=tab(self.enc_tab_g),
             enc_tab_h=tab(self.enc_tab_h),
             enc_tab_rns=self.enc_tab_rns,
+            gmap=self.gmap,
+            n_groups=self.n_groups,
         )
 
     def take(self, indices, axis: int) -> "PaillierCtxBatch":
         import jax.numpy as jnp
 
-        return self._map(
+        # group-compressed enc tables index G groups on their sessions
+        # axis: a sessions-axis take slices gmap instead of the tables
+        take_tabs = axis > 0 or self.gmap is None
+        out = self._map(
             lambda c, lead=0: c.take(indices, axis + lead),
             lambda a, lead=0: np.take(a, indices, axis=axis + lead),
-            fn_tab=lambda T: jnp.take(T, jnp.asarray(indices), axis=2 + axis),
+            fn_tab=(lambda T: jnp.take(T, jnp.asarray(indices), axis=2 + axis))
+            if take_tabs else (lambda T: T),
         )
+        if axis == 0 and self.gmap is not None:
+            out.gmap = np.take(self.gmap, indices, axis=0)
+        return out
 
     def expand(self, axis: int) -> "PaillierCtxBatch":
         import jax.numpy as jnp
@@ -551,6 +663,35 @@ class PaillierCtxBatch:
             enc_tab_g=self.enc_tab_g,
             enc_tab_h=self.enc_tab_h,
             enc_tab_rns=self.enc_tab_rns,
+            gmap=self.gmap,
+            n_groups=self.n_groups,
+        )
+
+    def repeat_interleaved(self, R: int) -> "PaillierCtxBatch":
+        """G-group batch -> S = G*R sessions, interleaved (session s uses
+        group s % G); enc tables stay compressed at G rows behind gmap."""
+        G = int(self.n_ctx.batch_shape[0])
+        rep = lambda a, lead=0: None if a is None else np.tile(
+            a, (1,) * lead + (R,) + (1,) * (a.ndim - lead - 1)
+        )
+        return PaillierCtxBatch(
+            n_ctx=self.n_ctx.repeat_lead(R),
+            nn_ctx=self.nn_ctx.repeat_lead(R),
+            sk_ctx=None if self.sk_ctx is None else self.sk_ctx.repeat_lead(R, axis=1),
+            sk_e=rep(self.sk_e, lead=1),
+            sk_pp=rep(self.sk_pp),
+            sk_cr=rep(self.sk_cr),
+            sk_p=rep(self.sk_p),
+            sk_q=rep(self.sk_q),
+            sk_hp=rep(self.sk_hp),
+            sk_hq=rep(self.sk_hq),
+            sk_pinv_q=rep(self.sk_pinv_q),
+            enc_g=rep(self.enc_g),
+            enc_tab_g=self.enc_tab_g,
+            enc_tab_h=self.enc_tab_h,
+            enc_tab_rns=self.enc_tab_rns,
+            gmap=np.tile(np.arange(G, dtype=np.int64), R),
+            n_groups=G,
         )
 
 

@@ -31,6 +31,9 @@ export XLA_FLAGS="--xla_force_host_platform_device_count=8"
 GROUPS_LIST="
 gg20adv:test_gg20_adversarial.py
 gg20q:test_gg20_adv_quorum.py
+gg20q5:test_gg20_adv_quorum5.py
+gg20q6:test_gg20_adv_quorum6.py
+gg20q7:test_gg20_adv_quorum7.py
 gg20:test_gg20.py,test_gg20_extra.py
 gg20blame:test_gg20_blame.py
 gg18:test_gg18.py,test_gg18_transport.py
@@ -39,7 +42,7 @@ ec:test_ec.py,test_zk_vss.py
 runtime:test_runtime.py,test_sharding.py,test_production_width.py
 twoparty:test_lindell17.py,test_cclst.py,test_backup.py
 paillier:test_paillier.py,test_pdl.py
-kernels:test_bigint.py,test_montgomery.py,test_rns.py,test_bench_cache.py,test_fixtures.py,test_pallas.py
+kernels:test_bigint.py,test_montgomery.py,test_rns.py,test_bench_cache.py,test_fixtures.py,test_pallas.py,test_pallas_ec.py
 "
 
 run_one() {

@@ -187,9 +187,29 @@ def rns_enabled() -> bool:
 USE_RNS = _RNS_ENV == "1"
 
 
+def _pack_ints(flat, W: int) -> bytes:
+    """Object-int array -> little-endian fixed-width bytes (raises
+    OverflowError on negatives/overflow -> caller falls back)."""
+    return b"".join(int(v).to_bytes(W, "little") for v in flat.tolist())
+
+
+def _width_for(arrs) -> int:
+    wb = 1
+    for a in arrs:
+        for v in a.tolist():
+            bl = int(v).bit_length()
+            if bl > wb:
+                wb = bl
+    return ((wb + 63) // 64) * 8
+
+
 def host_mulmod(*arrays_then_mod) -> np.ndarray:
-    """Elementwise product of object-int arrays modulo the last argument
-    (host loop; python-int mul/mod are C speed at these widths)."""
+    """Elementwise product of object-int arrays modulo the last argument.
+
+    Batches route to the native GMP helper (native/hostmul.cpp — the role
+    rust-gmp plays for curv's BigInt products, reference Cargo.toml:29);
+    the python-int loop remains the fallback for tiny batches, negative
+    inputs, or toolchain-less environments."""
     t0 = time.perf_counter() if PROFILE else 0.0
     *arrays, mod = arrays_then_mod
     arrays = [np.asarray(a, dtype=object) for a in arrays]
@@ -197,16 +217,33 @@ def host_mulmod(*arrays_then_mod) -> np.ndarray:
     shape = np.broadcast_shapes(*(a.shape for a in arrays), mod.shape)
     flat = [np.broadcast_to(a, shape).reshape(-1) for a in arrays]
     fm = np.broadcast_to(mod, shape).reshape(-1)
-    out = np.empty(fm.shape[0], dtype=object)
-    for b in range(fm.shape[0]):
-        acc = 1
-        m = int(fm[b])
-        for a in flat:
-            acc = acc * int(a[b]) % m
-        out[b] = acc
+    B = fm.shape[0]
+    out = None
+    if B >= 32:
+        from ..native import hostmul
+
+        if hostmul.available():
+            try:
+                W = _width_for(flat + [fm])
+                raw = hostmul.mulmod_batch(
+                    [_pack_ints(a, W) for a in flat], _pack_ints(fm, W), B, W
+                )
+                out = np.empty(B, dtype=object)
+                for b in range(B):
+                    out[b] = int.from_bytes(raw[b * W:(b + 1) * W], "little")
+            except (OverflowError, RuntimeError):
+                out = None
+    if out is None:
+        out = np.empty(B, dtype=object)
+        for b in range(B):
+            acc = 1
+            m = int(fm[b])
+            for a in flat:
+                acc = acc * int(a[b]) % m
+            out[b] = acc
     if PROFILE:
         PROFILE_LOG.append(
-            ("host:mulmod", fm.shape[0] * len(flat), 0, "-", time.perf_counter() - t0)
+            ("host:mulmod", B * len(flat), 0, "-", time.perf_counter() - t0)
         )
     return out.reshape(shape)
 
@@ -222,14 +259,32 @@ def host_prod_axis0(vals, mod) -> np.ndarray:
     mod_b = np.broadcast_to(np.asarray(mod, dtype=object), (1,) + rest)
     flat = vals.reshape(S, -1)
     fm = mod_b.reshape(-1)
-    out = np.empty(flat.shape[1], dtype=object)
-    for j in range(flat.shape[1]):
-        m = int(fm[j])
-        acc = 1
-        col = flat[:, j]
-        for s in range(S):
-            acc = acc * int(col[s]) % m
-        out[j] = acc
+    J = flat.shape[1]
+    out = None
+    if S * J >= 32:
+        from ..native import hostmul
+
+        if hostmul.available():
+            try:
+                W = _width_for([flat.reshape(-1), fm])
+                raw = hostmul.prodmod_axis0(
+                    _pack_ints(flat.reshape(-1), W), S, _pack_ints(fm, W),
+                    J, W,
+                )
+                out = np.empty(J, dtype=object)
+                for j in range(J):
+                    out[j] = int.from_bytes(raw[j * W:(j + 1) * W], "little")
+            except (OverflowError, RuntimeError):
+                out = None
+    if out is None:
+        out = np.empty(J, dtype=object)
+        for j in range(J):
+            m = int(fm[j])
+            acc = 1
+            col = flat[:, j]
+            for s in range(S):
+                acc = acc * int(col[s]) % m
+            out[j] = acc
     if PROFILE:
         PROFILE_LOG.append(
             ("host:prodax0", int(S * flat.shape[1]), 0, "-", time.perf_counter() - t0)

@@ -306,13 +306,19 @@ def _canon_unflatten(arr, batch):
 
 
 def scalar_mul(k, p: Point) -> Point:
-    """k * P, batched, with canonical batch shapes (see above)."""
+    """k * P, batched, with canonical batch shapes (see above).  Batches
+    of >= 128 lanes route to the fused Pallas GLV ladder (pallas_ec)."""
     from ..core.modctx import prof_call
+    from . import pallas_ec
 
     batch = jnp.broadcast_shapes(k.shape[:-1], p.X.shape[:-1])
     kf = _canon_flatten(k, batch)
     pf = Point(*(_canon_flatten(c, batch) for c in p))
-    out = prof_call("ec:smul", kf.shape[0], 256, lambda: _scalar_mul_jit(kf, pf))
+    if pallas_ec.use_pallas(kf.shape[0]):
+        fn = lambda: pallas_ec.glv_mul(kf, pf)
+    else:
+        fn = lambda: _scalar_mul_jit(kf, pf)
+    out = prof_call("ec:smul", kf.shape[0], 256, fn)
     return Point(*(_canon_unflatten(c, batch) for c in out))
 
 
@@ -385,13 +391,20 @@ def _mul_generator_comb(k, tX, tY, tZ):
 
 
 def mul_fixed_base(k, base_xy, label="ec:mulFB"):
-    """k * B for a public fixed base via the per-base comb (zero doublings)."""
+    """k * B for a public fixed base via the per-base comb (zero
+    doublings).  Batches of >= 128 lanes route to the fused Pallas 8-bit
+    comb kernel (one-hot MXU entry selects)."""
     from ..core.modctx import prof_call
+    from . import pallas_ec
 
     batch = k.shape[:-1]
     kf = _canon_flatten(k, batch)
-    tX, tY, tZ = _comb_table_for(base_xy)
-    out = prof_call(label, kf.shape[0], 256, lambda: _mul_generator_comb(kf, tX, tY, tZ))
+    if pallas_ec.use_pallas(kf.shape[0]):
+        fn = lambda: pallas_ec.comb_mul(kf, base_xy)
+    else:
+        tX, tY, tZ = _comb_table_for(base_xy)
+        fn = lambda: _mul_generator_comb(kf, tX, tY, tZ)
+    out = prof_call(label, kf.shape[0], 256, fn)
     return Point(*(_canon_unflatten(c, batch) for c in out))
 
 
@@ -557,8 +570,10 @@ def _dual_mul_jit(ka, pa: Point, kb, pb: Point) -> Point:
 
 def dual_mul(ka, pa: Point, kb, pb: Point) -> Point:
     """ka * PA + kb * PB, batched, canonical batch shapes (see scalar_mul):
-    ~1.5x over two scalar_muls + add for the two-term verify equations."""
+    ~1.5x over two scalar_muls + add for the two-term verify equations.
+    Batches of >= 128 lanes route to the 4-stream Pallas GLV ladder."""
     from ..core.modctx import prof_call
+    from . import pallas_ec
 
     batch = jnp.broadcast_shapes(
         ka.shape[:-1], pa.X.shape[:-1], kb.shape[:-1], pb.X.shape[:-1]
@@ -567,15 +582,16 @@ def dual_mul(ka, pa: Point, kb, pb: Point) -> Point:
     kbf = _canon_flatten(kb, batch)
     paf = Point(*(_canon_flatten(c, batch) for c in pa))
     pbf = Point(*(_canon_flatten(c, batch) for c in pb))
-    out = prof_call(
-        "ec:dmul", kaf.shape[0], 256, lambda: _dual_mul_jit(kaf, paf, kbf, pbf)
-    )
+    if pallas_ec.use_pallas(kaf.shape[0]):
+        fn = lambda: pallas_ec.dual_mul(kaf, paf, kbf, pbf)
+    else:
+        fn = lambda: _dual_mul_jit(kaf, paf, kbf, pbf)
+    out = prof_call("ec:dmul", kaf.shape[0], 256, fn)
     return Point(*(_canon_unflatten(c, batch) for c in out))
 
 
 @jax.jit
-def to_affine(p: Point):
-    """-> (x, y, is_inf).  x,y are zero at infinity."""
+def _to_affine_xla(p: Point):
     zinv = fe_inv(p.Z)
     zinv2 = fe_sq(zinv)
     x = fe_mul(p.X, zinv2)
@@ -583,6 +599,26 @@ def to_affine(p: Point):
     inf = bi.is_zero(p.Z)
     zero = jnp.zeros_like(x)
     return bi.select(~inf, x, zero), bi.select(~inf, y, zero), inf
+
+
+def to_affine(p: Point):
+    """-> (x, y, is_inf).  x,y are zero at infinity.  Batches of >= 128
+    lanes route to the fused Pallas Fermat-inversion kernel."""
+    from . import pallas_ec
+
+    batch = jnp.broadcast_shapes(p.X.shape[:-1], p.Y.shape[:-1],
+                                 p.Z.shape[:-1])
+    B = 1
+    for d in batch:
+        B *= d
+    if pallas_ec.use_pallas(B):
+        flat = Point(
+            *(jnp.broadcast_to(c, batch + (L,)).reshape(B, L) for c in p)
+        )
+        x, y, inf = pallas_ec.affine(flat)
+        rs = lambda a: a.reshape(batch + a.shape[1:]) if batch else a[0]
+        return rs(x), rs(y), inf.reshape(batch) if batch else inf[0]
+    return _to_affine_xla(p)
 
 
 @jax.jit
